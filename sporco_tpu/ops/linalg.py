@@ -1,0 +1,456 @@
+"""Linear-algebra kernels for DFT-domain and dense solvers.
+
+Capability parity with the reference linalg layer (``sporco/linalg.py``):
+broadcast inner products, per-pixel Sherman-Morrison solves of
+diagonal-block systems in the DFT domain, iterated/explicit/CG solvers for
+multi-rank systems, Gram-matrix factorisation solves, and assorted helpers
+(``rrs``, ``valid_adjoint``, ``block_circulant``, ``pca``, ``nkp``,
+``kpsvd``, ``solve_symmetric_sylvester``).
+
+TPU-first departures from the reference:
+
+- No numexpr fast paths: XLA fuses the elementwise chains natively.
+- :class:`GramEigFactor` replaces Cholesky/LU caches with a one-time
+  eigendecomposition of the Gram matrix, so adaptive-rho updates inside a
+  ``lax.while_loop`` never trigger a refactorisation (the refactor-on-rho-
+  change plumbing of ``sporco/admm/bpdn.py:264`` disappears entirely).
+- :func:`solvemdbi_cg` is a hand-rolled jittable conjugate gradient
+  (``lax.while_loop``), not a SciPy LinearOperator.
+"""
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+__all__ = [
+    "inner", "dot", "solvedbi_sm", "solvedbi_sm_c", "solvedbd_sm",
+    "solvedbd_sm_c", "solvemdbi_ism", "solvemdbi_rsm", "solvemdbi_cg",
+    "cg", "GramEigFactor", "gram_eig_factor", "gram_solve_atai",
+    "gram_solve_aati", "cho_factor", "cho_solve_ATAI", "cho_solve_AATI",
+    "lu_factor", "lu_solve_ATAI", "lu_solve_AATI", "rrs", "valid_adjoint",
+    "block_circulant", "solve_symmetric_sylvester", "pca", "nkp", "kpsvd",
+    "proj_l2ball", "zdivide",
+]
+
+from sporco_tpu.ops.prox import zdivide  # re-export for convenience
+
+
+def inner(x, y, axis=-1):
+    """Broadcast inner product: ``sum(x * y)`` over one axis, keepdims
+    (parity with ``sporco/linalg.py:41``).  XLA fuses the multiply and
+    reduction into one pass."""
+    return jnp.sum(x * y, axis=axis, keepdims=True)
+
+
+def dot(a, b, axis=-2):
+    """Matrix product of 2D ``a`` against axis ``axis`` of tensor ``b``
+    (parity with ``sporco/linalg.py:92``): contracts ``a``'s columns with
+    that axis, leaving the result in the same axis position."""
+    return jnp.moveaxis(jnp.tensordot(a, b, axes=((1,), (axis % b.ndim,))),
+                        0, axis % b.ndim)
+
+
+# ---------------------------------------------------------------------------
+# Per-pixel Sherman-Morrison solvers (the CSC hot loop)
+
+def solvedbi_sm_c(ah, a, rho, axis=-3):
+    """Cacheable component of :func:`solvedbi_sm`
+    (``sporco/linalg.py:277``)."""
+    return ah / (inner(ah, a, axis=axis) + rho)
+
+
+def solvedbi_sm(ah, rho, b, c=None, axis=-3):
+    """Solve the diagonal-block systems ``(rho I + a a^H) x = b`` with
+    ``a = conj(ah)``, independently per index of the non-``axis`` axes,
+    via rank-1 Sherman-Morrison (``sporco/linalg.py:232``).
+
+    This is the per-DFT-bin x-step solve of every single-channel CSC
+    solver; ``axis`` is the filter (M) axis.
+    """
+    a = jnp.conj(ah)
+    if c is None:
+        c = solvedbi_sm_c(ah, a, rho, axis)
+    return (b - (a * inner(c, b, axis=axis))) / rho
+
+
+def solvedbd_sm_c(ah, a, d, axis=-3):
+    """Cacheable component of :func:`solvedbd_sm`
+    (``sporco/linalg.py:346``)."""
+    return (ah / d) / (inner(ah, (a / d), axis=axis) + 1.0)
+
+
+def solvedbd_sm(ah, d, b, c=None, axis=-3):
+    """Solve ``(d + a a^H) x = b`` with diagonal ``d`` (broadcastable
+    array) via Sherman-Morrison (``sporco/linalg.py:301``); used by the
+    gradient-regularised CSC variants where ``d = mu |Ghat|^2 + rho``."""
+    a = jnp.conj(ah)
+    if c is None:
+        c = solvedbd_sm_c(ah, a, d, axis)
+    return (b - (a * inner(c, b, axis=axis))) / d
+
+
+def solvemdbi_ism(ah, rho, b, axisM, axisK):
+    """Solve ``(rho I + sum_k a_k a_k^H) x = b`` by iterated
+    Sherman-Morrison over axis ``axisK`` (``sporco/linalg.py:370``).
+
+    The recursion is inherently sequential with O(K^2) inner products;
+    the loops are unrolled at trace time (K is static), so this is only
+    appropriate for small K (e.g. colour channels).  For large K prefer
+    :func:`solvemdbi_rsm`, :func:`solvemdbi_cg`, or the consensus
+    formulation.
+    """
+    axisM = axisM % ah.ndim
+    axisK = axisK % ah.ndim
+    K = ah.shape[axisK]
+    a = jnp.conj(ah)
+
+    def slk(x, k):
+        return jax.lax.slice_in_dim(x, k, k + 1, axis=axisK)
+
+    gamma = []
+    delta = []
+    alpha = slk(a, 0) / rho
+    beta = b / rho
+    for k in range(K):
+        gamma.append(alpha)
+        delta.append(1.0 + inner(slk(ah, k), gamma[k], axis=axisM))
+        d = gamma[k] * inner(slk(ah, k), beta, axis=axisM)
+        beta = beta - d / delta[k]
+        if k < K - 1:
+            alpha = slk(a, k + 1) / rho
+            for l in range(k + 1):
+                d = gamma[l] * inner(slk(ah, l), alpha, axis=axisM)
+                alpha = alpha - d / delta[l]
+    return beta
+
+
+def solvemdbi_rsm(ah, rho, b, axisK, dimN=2):
+    """Solve ``(rho I + sum_k a_k a_k^H) x = b`` by explicitly building
+    the per-pixel M x M inverse via repeated Sherman-Morrison updates
+    (``sporco/linalg.py:448``): O(K) steps, O(M^2) memory per pixel.
+
+    Contract: ``ah`` has shape ``(..., K, M)`` -- rank terms on the
+    second-to-last axis, the system dimension M on the last axis, pixels
+    on the (broadcast) leading axes -- and ``b`` has shape ``(..., M)``.
+    The ``axisK``/``dimN`` parameters are accepted for call-surface
+    parity but the trailing-axes contract above is authoritative.
+    """
+    del axisK, dimN
+    K = ah.shape[-2]
+    M = ah.shape[-1]
+    a = jnp.conj(ah)
+    ainv = jnp.eye(M, dtype=ah.dtype) * (1.0 / rho)
+    for k in range(K):
+        ak = a[..., k, :]                       # (..., M)
+        ahk = ah[..., k, :]
+        aia = jnp.einsum("...ij,...j->...i", ainv, ak)
+        ahai = jnp.einsum("...j,...ji->...i", ahk, ainv)
+        denom = 1.0 + jnp.sum(ahk * aia, axis=-1, keepdims=True)
+        ainv = ainv - aia[..., :, None] * ahai[..., None, :] \
+            / denom[..., None]
+    return jnp.einsum("...ij,...j->...i", ainv, b)
+
+
+def cg(aop: Callable, b, x0=None, tol=1e-5, max_iter=1000, m_inv=None):
+    """Jittable conjugate gradient for Hermitian positive-definite
+    operators on arbitrary (possibly complex) pytrees-as-arrays.
+
+    Replaces the reference's SciPy LinearOperator CG
+    (``sporco/linalg.py:515``) with a ``lax.while_loop`` whose
+    convergence test stays on device.  Returns ``(x, k)``.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    def dotp(u, v):
+        return jnp.sum(jnp.real(jnp.conj(u) * v))
+
+    bn = jnp.sqrt(dotp(b, b))
+    r0 = b - aop(x0)
+    z0 = m_inv(r0) if m_inv is not None else r0
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return jnp.logical_and(k < max_iter,
+                               jnp.sqrt(dotp(r, r)) > tol * jnp.maximum(bn, 1e-30))
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        ap = aop(p)
+        alpha = rz / jnp.maximum(dotp(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = m_inv(r) if m_inv is not None else r
+        rz_new = dotp(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    state0 = (x0, r0, z0, z0, dotp(r0, z0), jnp.array(0, jnp.int32))
+    x, r, _, _, _, k = jax.lax.while_loop(cond, body, state0)
+    return x, k
+
+
+def solvemdbi_cg(ah, rho, b, axisM, axisK, tol=1e-5, max_iter=1000, x0=None):
+    """Solve ``(rho I + sum_k a_k a_k^H) x = b`` by conjugate gradient
+    (``sporco/linalg.py:515``).  Returns ``(x, cgit)``."""
+    a = jnp.conj(ah)
+
+    def aop(u):
+        return rho * u + jnp.sum(a * inner(ah, u, axis=axisM),
+                                 axis=axisK, keepdims=True)
+
+    return cg(aop, b, x0=x0, tol=tol, max_iter=max_iter)
+
+
+# ---------------------------------------------------------------------------
+# Gram-matrix factorisation solves (dense BPDN / CMOD x-steps)
+
+class GramEigFactor(NamedTuple):
+    """Eigendecomposition of a Gram matrix ``A^T A`` (or ``A A^T``).
+
+    TPU-first replacement for the reference's rho-dependent Cholesky/LU
+    caches (``sporco/linalg.py:583-777``): the factorisation is
+    independent of rho, so ``(A^T A + rho I)^{-1} b`` for *any* rho is
+    two matmuls -- adaptive rho inside a jitted loop costs nothing.
+    """
+    evecs: jnp.ndarray    # (m, m) eigenvectors of the Gram matrix
+    evals: jnp.ndarray    # (m,) eigenvalues (ascending)
+    a: jnp.ndarray        # the original operator matrix (n, m)
+    of_ata: bool          # True if factor is of A^T A, else of A A^T
+
+
+def gram_eig_factor(a, of_ata=None):
+    """Eigendecompose ``A^T A`` or ``A A^T``, whichever is smaller
+    (mirrors the size heuristic of ``sporco/linalg.py:698``)."""
+    n, m = a.shape
+    if of_ata is None:
+        of_ata = n >= m
+    g = a.T @ a if of_ata else a @ a.T
+    g = g.astype(_promoted(a.dtype))
+    evals, evecs = jnp.linalg.eigh(g)
+    return GramEigFactor(evecs.astype(a.dtype),
+                         evals.astype(_real_of(a.dtype)), a, of_ata)
+
+
+def _promoted(dtype):
+    return dtype
+
+
+def _real_of(dtype):
+    return jnp.zeros((), dtype).real.dtype
+
+
+def gram_solve_atai(f: GramEigFactor, rho, b):
+    """Solve ``(A^T A + rho I) x = b`` using a :class:`GramEigFactor`.
+
+    If the factor is of ``A A^T`` the matrix-inversion lemma is applied
+    (``sporco/linalg.py:739`` capability).
+    """
+    if f.of_ata:
+        w = f.evecs.T @ b
+        return f.evecs @ (w / (f.evals[:, None] + rho))
+    # (A^T A + rho I)^-1 b = (b - A^T (A A^T + rho I)^-1 A b) / rho
+    ab = f.a @ b
+    w = f.evecs.T @ ab
+    t = f.evecs @ (w / (f.evals[:, None] + rho))
+    return (b - f.a.T @ t) / rho
+
+
+def gram_solve_aati(f: GramEigFactor, rho, b):
+    """Solve ``x (A A^T + rho I) = b`` (right-hand systems, parity with
+    ``sporco/linalg.py:777``)."""
+    if not f.of_ata:
+        w = b @ f.evecs
+        return (w / (f.evals[None, :] + rho)) @ f.evecs.T
+    # x = (b - ((b A^T) (A^T A + rho I)^-1) A) / rho
+    ba = b @ f.a
+    w = ba @ f.evecs
+    t = (w / (f.evals[None, :] + rho)) @ f.evecs.T
+    return (b - t @ f.a.T) / rho
+
+
+# Cholesky/LU parity wrappers (same call surface as the reference).
+
+def cho_factor(a, rho, lower=False):
+    """Cholesky of ``A^T A + rho I`` or ``A A^T + rho I``, whichever is
+    smaller (``sporco/linalg.py:698``)."""
+    n, m = a.shape
+    if n >= m:
+        g = a.T @ a + rho * jnp.eye(m, dtype=a.dtype)
+    else:
+        g = a @ a.T + rho * jnp.eye(n, dtype=a.dtype)
+    return jsl.cho_factor(g, lower=lower)
+
+
+def cho_solve_ATAI(a, rho, b, c, lwr=False):
+    """Solve ``(A^T A + rho I) x = b`` given :func:`cho_factor` output
+    (``sporco/linalg.py:739``)."""
+    n, m = a.shape
+    if n >= m:
+        return jsl.cho_solve((c, lwr), b)
+    return (b - a.T @ jsl.cho_solve((c, lwr), a @ b)) / rho
+
+
+def cho_solve_AATI(a, rho, b, c, lwr=False):
+    """Solve ``x (A A^T + rho I) = b`` given :func:`cho_factor` output
+    (``sporco/linalg.py:777``)."""
+    n, m = a.shape
+    if n < m:
+        return jsl.cho_solve((c, lwr), b.T).T
+    return (b - jsl.cho_solve((c, lwr), (b @ a).T).T @ a.T) / rho
+
+
+def lu_factor(a, rho):
+    """LU of ``A^T A + rho I`` or ``A A^T + rho I``
+    (``sporco/linalg.py:583``)."""
+    n, m = a.shape
+    if n >= m:
+        g = a.T @ a + rho * jnp.eye(m, dtype=a.dtype)
+    else:
+        g = a @ a.T + rho * jnp.eye(n, dtype=a.dtype)
+    return jsl.lu_factor(g)
+
+
+def lu_solve_ATAI(a, rho, b, lu_piv):
+    """Solve ``(A^T A + rho I) x = b`` given :func:`lu_factor` output."""
+    n, m = a.shape
+    if n >= m:
+        return jsl.lu_solve(lu_piv, b)
+    return (b - a.T @ jsl.lu_solve(lu_piv, a @ b)) / rho
+
+
+def lu_solve_AATI(a, rho, b, lu_piv):
+    """Solve ``x (A A^T + rho I) = b`` given :func:`lu_factor` output."""
+    n, m = a.shape
+    if n < m:
+        return jsl.lu_solve(lu_piv, b.T).T
+    return (b - jsl.lu_solve(lu_piv, (b @ a).T).T @ a.T) / rho
+
+
+# ---------------------------------------------------------------------------
+# Validation / utility
+
+def rrs(ax, b):
+    """Relative residual ``||b - Ax|| / max(||Ax||, ||b||)`` with a 0/0
+    guard (``sporco/linalg.py:883``)."""
+    nrm = jnp.maximum(jnp.linalg.norm(jnp.ravel(ax)),
+                      jnp.linalg.norm(jnp.ravel(b)))
+    dv = jnp.linalg.norm(jnp.ravel(ax - b))
+    return jnp.where(nrm == 0.0, jnp.where(dv == 0.0, 0.0, jnp.inf),
+                     dv / jnp.where(nrm == 0.0, 1.0, nrm))
+
+
+def valid_adjoint(aop, atop, ashape, atshape, eps=1e-7, key=None):
+    """Random-vector adjoint test ``<y, A x> == <A^T y, x>``
+    (``sporco/linalg.py:147``).  Returns the relative error if ``eps`` is
+    None, else a bool."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    u = jax.random.normal(k1, ashape)
+    v = jax.random.normal(k2, atshape)
+    au = aop(u)
+    atv = atop(v)
+    yax = jnp.sum(jnp.conj(v) * au).real
+    atyx = jnp.sum(jnp.conj(atv) * u).real
+    err = jnp.abs(yax - atyx) / jnp.maximum(jnp.abs(yax), jnp.abs(atyx))
+    if eps is None:
+        return err
+    return err < eps
+
+
+def block_circulant(a):
+    """Construct a dense block-circulant matrix from a tuple/list of
+    blocks (``sporco/linalg.py:204``); validation use only."""
+    r, c = a[0].shape
+    nb = len(a)
+    b = np.zeros((nb * r, nb * c), dtype=np.asarray(a[0]).dtype)
+    for k in range(nb):
+        for l in range(nb):
+            kl = np.mod(k + l, nb)
+            b[r*kl:r*(kl+1), c*k:c*(k+1)] = np.asarray(a[l])
+    return jnp.asarray(b)
+
+
+def solve_symmetric_sylvester(A, B, c, alpha):
+    """Solve ``A X B + alpha X = C`` for symmetric ``A``, ``B`` via
+    eigendecompositions (``sporco/linalg.py:815``).  ``A``/``B`` may be
+    a 2D array, an ``(evals, evecs)`` tuple, or a 1D array (diagonal)."""
+    def eig_of(m):
+        if isinstance(m, tuple):
+            return m
+        m = jnp.asarray(m)
+        if m.ndim == 1:
+            return m, None
+        w, v = jnp.linalg.eigh(m)
+        return w, v
+
+    wa, va = eig_of(A)
+    wb, vb = eig_of(B)
+    ct = c
+    if va is not None:
+        ct = va.T @ ct
+    if vb is not None:
+        ct = ct @ vb
+    denom = wa[:, None] * wb[None, :] + alpha
+    xt = ct / denom
+    if va is not None:
+        xt = va @ xt
+    if vb is not None:
+        xt = xt @ vb.T
+    return xt
+
+
+def pca(u, centre=False):
+    """PCA basis of the columns of ``u`` (``sporco/linalg.py:914``):
+    returns ``(B, S, C)`` with basis vectors in the columns of ``B``
+    (descending variance), eigenvalues ``S``, and mean ``C`` (or None)."""
+    c = None
+    if centre:
+        c = jnp.mean(u, axis=1, keepdims=True)
+        u = u - c
+    w, v = jnp.linalg.eigh(u @ u.T / u.shape[1])
+    # eigh returns ascending; flip to descending
+    return v[:, ::-1], w[::-1], c
+
+
+def _kron_rearrange(a, bshape, cshape):
+    """Van Loan-Pitsianis rearrangement R(A) such that the Frobenius
+    nearest Kronecker product problem becomes a rank-1 approximation."""
+    br, bc = bshape
+    cr, cc = cshape
+    blocks = a.reshape(br, cr, bc, cc)          # A[(i,k),(j,l)] = blocks[i,k,j,l]
+    return jnp.transpose(blocks, (0, 2, 1, 3)).reshape(br * bc, cr * cc)
+
+
+def nkp(a, bshape, cshape):
+    """Nearest Kronecker product: minimise ``||A - B kron C||_F``
+    (``sporco/linalg.py:949``).  Returns ``(B, C)``."""
+    ra = _kron_rearrange(a, bshape, cshape)
+    u, s, vt = jnp.linalg.svd(ra, full_matrices=False)
+    sq = jnp.sqrt(s[0])
+    b = sq * u[:, 0].reshape(bshape)
+    c = sq * vt[0, :].reshape(cshape)
+    return b, c
+
+
+def kpsvd(a, bshape, cshape):
+    """Kronecker sub-space SVD (``sporco/linalg.py:990``): returns
+    ``(S, B, C)`` such that ``A = sum_k S[k] B[...,k] kron C[...,k]``."""
+    ra = _kron_rearrange(a, bshape, cshape)
+    u, s, vt = jnp.linalg.svd(ra, full_matrices=False)
+    b = u.T.reshape(-1, *bshape).transpose(1, 2, 0)
+    c = vt.reshape(-1, *cshape).transpose(1, 2, 0)
+    return s, b, c
+
+
+def proj_l2ball(b, s, r, axes=None):
+    """Deprecated-in-reference l2-ball projection about centre ``s``
+    (``sporco/linalg.py:1037``); kept for API parity."""
+    from sporco_tpu.ops.prox import proj_l2
+    return s + proj_l2(b - s, r, axis=axes)
