@@ -1,0 +1,110 @@
+"""Shared machinery for model classes: the thin stateful shell around
+the functional solver cores.
+
+Replaces the reference's deep template-method inheritance
+(``sporco/common.py:120``, ``sporco/admm/admm.py:28``) with a minimal
+host-side wrapper holding ``(cfg, params, opts, state)``.  ``solve()``
+is re-entrant (the state pytree carries the iteration counter), solver
+state is serialisable (checkpoint parity with the reference's pickling
+machinery, ``sporco/common.py:24-82``), and all timing is collected via
+:class:`sporco_tpu.utils.timer.Timer` with ``init``/``solve`` labels.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from sporco_tpu.solvers import admm as _admm
+from sporco_tpu.solvers import pgm as _pgm
+from sporco_tpu.utils.timer import Timer
+
+__all__ = ["ADMMModel", "PGMModel"]
+
+
+class ADMMModel:
+    """Base for ADMM-driven model classes.  Subclasses set
+    ``self.problem`` (an :class:`ADMMProblem`), ``self.cfg``,
+    ``self.params``, ``self.opts`` and ``self.state`` in ``__init__``."""
+
+    def __init__(self):
+        self.timer = Timer(["init", "solve"])
+        self.timer.start("init")
+        self.k_start = 0
+
+    def _init_done(self):
+        self.timer.stop("init")
+
+    def solve(self):
+        """Run (or resume) the jitted solve loop; returns the minimiser
+        in the reference's output layout."""
+        self.k_start = int(self.state.k)
+        self.timer.start("solve")
+        self.state = _admm.admm_solve(self.problem, self.cfg, self.params,
+                                      self.opts, self.state)
+        jax.block_until_ready(self.state)
+        self.timer.stop("solve")
+        return self.getmin()
+
+    def getmin(self):
+        """Minimiser (subclasses convert to user layout)."""
+        return self.state.Y
+
+    def getitstat(self):
+        """Per-iteration statistics of the most recent ``solve`` call."""
+        return _admm.iterstats(self.problem, self.state, self.k_start)
+
+    @property
+    def itstat(self):
+        return self.getitstat()
+
+    def state_dict(self):
+        """Serialisable snapshot of the solver state (checkpointing)."""
+        return jax.tree_util.tree_map(lambda x: x, self.state)._asdict()
+
+    def load_state(self, d):
+        self.state = type(self.state)(**d)
+
+
+class PGMModel:
+    """Base for PGM-driven model classes."""
+
+    def __init__(self):
+        self.timer = Timer(["init", "solve"])
+        self.timer.start("init")
+        self.k_start = 0
+
+    def _init_done(self):
+        self.timer.stop("init")
+
+    def solve(self):
+        self.k_start = int(self.state.k)
+        self.timer.start("solve")
+        self.state = _pgm.pgm_solve(self.problem, self.cfg, self.params,
+                                    self.opts, self.state)
+        jax.block_until_ready(self.state)
+        self.timer.stop("solve")
+        return self.getmin()
+
+    def getmin(self):
+        return self.state.X
+
+    def getitstat(self):
+        return _pgm.pgm_iterstats(self.problem, self.state, self.k_start)
+
+    @property
+    def itstat(self):
+        return self.getitstat()
+
+    def state_dict(self):
+        return jax.tree_util.tree_map(lambda x: x, self.state)._asdict()
+
+    def load_state(self, d):
+        self.state = type(self.state)(**d)
+
+
+def default_rho_xi(lmbda):
+    """Default AutoRho residual-ratio target xi as a function of lambda
+    (Sec. VI.C of wohlberg-2015-adaptive; ``sporco/admm/bpdn.py:424``)."""
+    import math
+    if lmbda is None or lmbda == 0.0:
+        return 1.0
+    return float(1.0 + 18.3 ** (math.log10(float(lmbda)) + 1.0))

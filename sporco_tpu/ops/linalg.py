@@ -30,6 +30,7 @@ __all__ = [
     "inner", "dot", "solvedbi_sm", "solvedbi_sm_c", "solvedbd_sm",
     "solvedbd_sm_c", "solvemdbi_ism", "solvemdbi_rsm", "solvemdbi_cg",
     "cg", "GramEigFactor", "gram_eig_factor", "gram_solve_atai",
+    "gram_solve_atai_split", "gram_solve_aati_split",
     "gram_solve_aati", "cho_factor", "cho_solve_ATAI", "cho_solve_AATI",
     "lu_factor", "lu_solve_ATAI", "lu_solve_AATI", "rrs", "valid_adjoint",
     "block_circulant", "solve_symmetric_sylvester", "pca", "nkp", "kpsvd",
@@ -210,18 +211,36 @@ def solvemdbi_cg(ah, rho, b, axisM, axisK, tol=1e-5, max_iter=1000, x0=None):
 # ---------------------------------------------------------------------------
 # Gram-matrix factorisation solves (dense BPDN / CMOD x-steps)
 
-class GramEigFactor(NamedTuple):
+class GramEigFactor:
     """Eigendecomposition of a Gram matrix ``A^T A`` (or ``A A^T``).
 
     TPU-first replacement for the reference's rho-dependent Cholesky/LU
     caches (``sporco/linalg.py:583-777``): the factorisation is
     independent of rho, so ``(A^T A + rho I)^{-1} b`` for *any* rho is
     two matmuls -- adaptive rho inside a jitted loop costs nothing.
+
+    Registered as a pytree with ``of_ata`` as static aux data so it can
+    cross jit boundaries inside a params pytree.
     """
-    evecs: jnp.ndarray    # (m, m) eigenvectors of the Gram matrix
-    evals: jnp.ndarray    # (m,) eigenvalues (ascending)
-    a: jnp.ndarray        # the original operator matrix (n, m)
-    of_ata: bool          # True if factor is of A^T A, else of A A^T
+
+    def __init__(self, evecs, evals, a, of_ata):
+        self.evecs = evecs    # (m, m) eigenvectors of the Gram matrix
+        self.evals = evals    # (m,) eigenvalues (ascending)
+        self.a = a            # the original operator matrix (n, m)
+        self.of_ata = of_ata  # True if factor is of A^T A, else of A A^T
+
+    def tree_flatten(self):
+        return (self.evecs, self.evals, self.a), self.of_ata
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+
+jax.tree_util.register_pytree_node(
+    GramEigFactor,
+    lambda f: f.tree_flatten(),
+    GramEigFactor.tree_unflatten)
 
 
 def gram_eig_factor(a, of_ata=None):
@@ -259,6 +278,40 @@ def gram_solve_atai(f: GramEigFactor, rho, b):
     w = f.evecs.T @ ab
     t = f.evecs @ (w / (f.evals[:, None] + rho))
     return (b - f.a.T @ t) / rho
+
+
+def gram_solve_atai_split(f: GramEigFactor, rho, s, v):
+    """Solve ``(A^T A + rho I) x = A^T s + rho v`` with the right-hand
+    side given in split form.
+
+    For a wide ``A`` (factor of ``A A^T``) this uses the residual-
+    correction identity ``x = v + A^T (A A^T + rho I)^{-1} (s - A v)``,
+    which -- unlike the plain inversion lemma ``(b - A^T t)/rho`` -- has
+    no catastrophic cancellation in float32 (all intermediates are at
+    the data scale, not ``|b|/rho``).  This is the numerically safe
+    low-precision x-step for BPDN-type problems on TPU.
+    """
+    if f.of_ata:
+        b = f.a.T @ s + rho * v
+        w = f.evecs.T @ b
+        return f.evecs @ (w / (f.evals[:, None] + rho))
+    r = s - f.a @ v
+    t = f.evecs @ ((f.evecs.T @ r) / (f.evals[:, None] + rho))
+    return v + f.a.T @ t
+
+
+def gram_solve_aati_split(f: GramEigFactor, rho, s, v):
+    """Solve ``x (A A^T + rho I) = s A^T + rho v`` (right-hand systems)
+    with the right-hand side in split form; the cancellation-free
+    analogue of :func:`gram_solve_atai_split` for the dictionary-update
+    (CMOD) direction: ``x = v + ((s - v A) (A^T A + rho I)^{-1}) A^T``."""
+    if not f.of_ata:
+        b = s @ f.a.T + rho * v
+        w = b @ f.evecs
+        return (w / (f.evals[None, :] + rho)) @ f.evecs.T
+    r = s - v @ f.a
+    t = ((r @ f.evecs) / (f.evals[None, :] + rho)) @ f.evecs.T
+    return v + t @ f.a.T
 
 
 def gram_solve_aati(f: GramEigFactor, rho, b):

@@ -1,0 +1,375 @@
+"""Generic ADMM loop driver.
+
+Re-design of the reference's template-method ``ADMM`` class hierarchy
+(``sporco/admm/admm.py:28-789``) as a *functional core*: a problem is a
+static bundle of pure functions (:class:`ADMMProblem`) plus a params
+pytree; the solver is one jitted ``lax.while_loop`` implementing the
+Boyd iteration (x-step, over-relaxation, y-step, u-step, residuals,
+adaptive rho) entirely on device:
+
+- **Convergence tests never leave the device**: the normalised (or
+  standard) primal/dual residuals of wohlberg-2015-adaptive
+  (``sporco/admm/admm.py:462-486``) are computed in-loop and feed the
+  ``while_loop`` predicate directly.
+- **Adaptive rho with U-rescaling** (``sporco/admm/admm.py:549-575``)
+  is branchless carried state -- no host round-trip (the failure mode
+  the reference's CuPy port had to patch, ``sporco/cupy/admm/
+  __init__.py:35-62``), and no cached-factor invalidation: x-steps
+  read ``state.rho`` directly (Sherman-Morrison caches are recomputed
+  inside the fused iteration; dense solves use rho-independent
+  eigendecompositions, see :class:`sporco_tpu.ops.linalg.GramEigFactor`).
+- **Per-iteration stats** land in a fixed-shape on-device buffer
+  (iteration, objective terms, residuals, rho) instead of a Python list
+  of namedtuples; rows past the stopping iteration stay NaN.
+- **Checkpoint/warm-start parity**: the full solver state
+  (:class:`ADMMState`) is a serialisable pytree of *real* arrays, and
+  ``solve`` is re-entrant -- passing the returned state continues from
+  iteration ``k`` exactly like the reference's re-entrant ``solve()``
+  (``sporco/admm/admm.py:331,381``).
+
+All solver state crossing the jit boundary is real-valued (complex
+DFT-domain constants are recomputed inside the jitted program), which
+both matches TPU runtime constraints and keeps checkpoints trivially
+serialisable.
+"""
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["AutoRhoOpts", "ADMMOpts", "ADMMProblem", "ADMMState",
+           "admm_solve", "init_state", "tree_norm", "IterStats"]
+
+
+# ---------------------------------------------------------------------------
+# Options
+
+@dataclass(frozen=True)
+class AutoRhoOpts:
+    """Adaptive-rho policy options (wohlberg-2015-adaptive; defaults
+    mirror ``sporco/admm/admm.py:148-161``)."""
+    enabled: bool = False
+    period: int = 10
+    scaling: float = 2.0        # tau (max multiplier if auto_scaling)
+    rsdl_ratio: float = 10.0    # mu
+    rsdl_target: Optional[float] = None   # xi; None -> 1.0 or model default
+    auto_scaling: bool = False
+    std_residuals: bool = False
+
+
+@dataclass(frozen=True)
+class ADMMOpts:
+    """Generic ADMM options (semantics of ``sporco/admm/admm.py``
+    ``Options``; validated statically as a frozen dataclass instead of a
+    ConstrainedDict)."""
+    max_iter: int = 1000
+    abs_stop_tol: float = 0.0
+    rel_stop_tol: float = 1e-3
+    relax_param: float = 1.0
+    rho: Optional[float] = None          # None -> problem default
+    auto_rho: AutoRhoOpts = field(default_factory=AutoRhoOpts)
+    fast_solve: bool = False             # skip objective evaluation
+    verbose: bool = False
+    dtype: Any = jnp.float32
+
+    def replace(self, **kw):
+        from dataclasses import replace as _r
+        return _r(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Problem protocol
+
+def _identity(cfg, aux, params, v):
+    return v
+
+
+def _neg(cfg, aux, params, v):
+    return jax.tree_util.tree_map(jnp.negative, v)
+
+
+def _zero_c(cfg, aux, params):
+    return 0.0
+
+
+@dataclass(frozen=True)
+class ADMMProblem:
+    """Static bundle of pure functions defining one ADMM problem.
+
+    Capability mapping to the reference's subclass contract
+    (``sporco/admm/admm.py:672-775``): ``xstep/ystep`` are the proximal
+    steps, ``cnst_a/cnst_at/cnst_b/cnst_c`` the constraint operators
+    (defaults give the ``ADMMEqual`` specialisation, ``Ax - y = 0``),
+    and ``rsdl_*`` may override the generic residual/normalisation
+    definitions (as e.g. the consensus solvers do).
+
+    All fields must be module-level functions (hashability ⇒ stable jit
+    cache).  Signatures::
+
+        setup(cfg, params) -> aux                 # inside jit, once
+        xstep(cfg, aux, params, state) -> (X, xaux)
+        ystep(cfg, aux, params, state, AXU) -> Y
+        obfn(cfg, aux, params, state, xaux) -> tuple of scalars
+        cnst_a(cfg, aux, params, X) -> AX         # and _at, _b, _c
+    """
+    setup: Callable
+    xstep: Callable
+    ystep: Callable
+    obfn: Optional[Callable] = None
+    cnst_a: Callable = _identity
+    cnst_at: Callable = _identity
+    cnst_b: Callable = _neg
+    cnst_c: Callable = _zero_c
+    rsdl_r: Optional[Callable] = None    # (cfg,aux,params,state,AXnr) -> r vec
+    rsdl_s: Optional[Callable] = None    # (cfg,aux,params,state,Yprev) -> s vec
+    rsdl_rn: Optional[Callable] = None   # scalar normaliser
+    rsdl_sn: Optional[Callable] = None
+    uinit: Optional[Callable] = None     # (cfg, params) -> U0
+    yinit: Optional[Callable] = None     # (cfg, params) -> Y0
+    xinit: Optional[Callable] = None     # (cfg, params) -> X0 (defaults to
+                                         # zeros with Y's structure)
+    stat_names: Tuple[str, ...] = ("Obj", "F", "G")
+
+
+class ADMMState(NamedTuple):
+    """Full ADMM solver state: a serialisable pytree of real arrays."""
+    X: Any
+    Y: Any
+    U: Any
+    rho: jnp.ndarray
+    rho_xi: jnp.ndarray
+    k: jnp.ndarray          # global iteration counter (re-entrant)
+    r: jnp.ndarray          # last primal residual
+    s: jnp.ndarray          # last dual residual
+    epri: jnp.ndarray
+    edua: jnp.ndarray
+    stats: jnp.ndarray      # (max_iter, nstat) buffer for this solve call
+
+
+class IterStats:
+    """Host-side view of the per-iteration stats buffer; column access by
+    name (capability of the reference's ``getitstat()``,
+    ``sporco/admm/admm.py:540``)."""
+
+    def __init__(self, names, buf, nvalid):
+        self._names = tuple(names)
+        arr = np.asarray(buf)[:int(nvalid)]
+        self._arr = arr
+        for i, n in enumerate(self._names):
+            setattr(self, n, arr[:, i])
+
+    def __len__(self):
+        return self._arr.shape[0]
+
+    def __repr__(self):
+        return f"IterStats({self._names}, n={len(self)})"
+
+
+# ---------------------------------------------------------------------------
+# Pytree arithmetic helpers
+
+def _tmap(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+def tree_norm(t):
+    """Frobenius norm over all leaves of a pytree (complex-aware)."""
+    sq = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + jnp.sum(jnp.abs(x) ** 2
+                                     if jnp.iscomplexobj(x) else x * x),
+        t, 0.0)
+    return jnp.sqrt(sq)
+
+
+def _tree_size(t):
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(t))
+
+
+# ---------------------------------------------------------------------------
+# Residuals (generic definitions, ``sporco/admm/admm.py:722-775``)
+
+def _generic_rsdl_r(prob, cfg, aux, params, AXnr, Y):
+    BY = prob.cnst_b(cfg, aux, params, Y)
+    c = prob.cnst_c(cfg, aux, params)
+    return _tmap(lambda a, b: a + b, AXnr, BY) if c is None else \
+        _tmap(lambda a, b: a + b - c, AXnr, BY)
+
+
+def _generic_rsdl_s(prob, cfg, aux, params, state, Yprev, Y):
+    dBY = prob.cnst_b(cfg, aux, params,
+                      _tmap(lambda a, b: a - b, Y, Yprev))
+    return _tmap(lambda v: state.rho * v,
+                 prob.cnst_at(cfg, aux, params, dBY))
+
+
+# ---------------------------------------------------------------------------
+# The driver
+
+def init_state(prob, cfg, params, opts, rho0, rho_xi=1.0,
+               Y0=None, U0=None, dtype=None):
+    """Build a fresh :class:`ADMMState`.  ``Y0``/``U0`` enable warm
+    starts (parity with the reference's Y0/U0 options,
+    ``sporco/admm/admm.py:262-272``)."""
+    if Y0 is None:
+        Y0 = prob.yinit(cfg, params) if prob.yinit else None
+    if U0 is None:
+        U0 = prob.uinit(cfg, params) if prob.uinit else None
+    if Y0 is None or U0 is None:
+        raise ValueError("problem must provide yinit/uinit or caller "
+                         "must pass Y0/U0")
+    nstat = 1 + len(prob.stat_names) + 5
+    rdt = jnp.zeros((), opts.dtype).real.dtype
+    X0 = prob.xinit(cfg, params) if prob.xinit \
+        else _tmap(jnp.zeros_like, Y0)
+    return ADMMState(
+        X=X0,
+        Y=Y0, U=U0,
+        rho=jnp.asarray(rho0, rdt),
+        rho_xi=jnp.asarray(rho_xi, rdt),
+        k=jnp.asarray(0, jnp.int32),
+        r=jnp.asarray(jnp.inf, rdt), s=jnp.asarray(jnp.inf, rdt),
+        epri=jnp.asarray(0.0, rdt), edua=jnp.asarray(0.0, rdt),
+        stats=jnp.full((opts.max_iter, nstat), jnp.nan, jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def _admm_run(prob, cfg, params, opts, state):
+    """One jitted solve call: run up to ``opts.max_iter`` iterations from
+    ``state``, stopping early when both normalised residuals pass their
+    tolerances."""
+    aux = prob.setup(cfg, params)
+    k0 = state.k
+    ar = opts.auto_rho
+    rlx = opts.relax_param
+
+    def cond(st):
+        return jnp.logical_and(
+            st.k - k0 < opts.max_iter,
+            jnp.logical_not(jnp.logical_and(st.r <= st.epri,
+                                            st.s <= st.edua)))
+
+    def body(st):
+        Yprev = st.Y
+        X, xaux = prob.xstep(cfg, aux, params, st)
+        AXnr = prob.cnst_a(cfg, aux, params, X)
+        if rlx == 1.0:
+            AX = AXnr
+        else:
+            BY = prob.cnst_b(cfg, aux, params, st.Y)
+            c = prob.cnst_c(cfg, aux, params)
+            AX = _tmap(lambda a, b: rlx * a - (1 - rlx) * (b - c),
+                       AXnr, BY)
+        AXU = _tmap(lambda a, u: a + u, AX, st.U)
+        st_x = st._replace(X=X)
+        Y = prob.ystep(cfg, aux, params, st_x, AXU)
+        # u-step: U += AX + B(Y) - c
+        BY = prob.cnst_b(cfg, aux, params, Y)
+        c = prob.cnst_c(cfg, aux, params)
+        U = _tmap(lambda u, a, b: u + a + b - c, st.U, AX, BY)
+        st2 = st._replace(X=X, Y=Y, U=U)
+
+        # residuals (sporco/admm/admm.py:462-486)
+        if prob.rsdl_r is not None:
+            rv = prob.rsdl_r(cfg, aux, params, st2, AXnr)
+        else:
+            rv = _generic_rsdl_r(prob, cfg, aux, params, AXnr, Y)
+        if prob.rsdl_s is not None:
+            sv = prob.rsdl_s(cfg, aux, params, st2, Yprev)
+        else:
+            sv = _generic_rsdl_s(prob, cfg, aux, params, st2, Yprev, Y)
+        rnrm = tree_norm(rv)
+        snrm = tree_norm(sv)
+        if prob.rsdl_rn is not None:
+            rn = prob.rsdl_rn(cfg, aux, params, st2, AXnr)
+        else:
+            cc = prob.cnst_c(cfg, aux, params)
+            cn = 0.0 if isinstance(cc, float) else tree_norm(cc)
+            rn = jnp.maximum(jnp.maximum(tree_norm(AXnr), tree_norm(BY)),
+                             cn)
+        if prob.rsdl_sn is not None:
+            sn = prob.rsdl_sn(cfg, aux, params, st2)
+        else:
+            sn = st.rho * tree_norm(prob.cnst_at(cfg, aux, params, U))
+        nc = math.sqrt(_tree_size(st.Y))
+        nx = math.sqrt(_tree_size(st.X))
+        if ar.std_residuals:
+            r = rnrm
+            s = snrm
+            epri = nc * opts.abs_stop_tol + rn * opts.rel_stop_tol
+            edua = nx * opts.abs_stop_tol + sn * opts.rel_stop_tol
+        else:
+            rn_ = jnp.where(rn == 0.0, 1.0, rn)
+            sn_ = jnp.where(sn == 0.0, 1.0, sn)
+            r = rnrm / rn_
+            s = snrm / sn_
+            epri = nc * opts.abs_stop_tol / rn_ + opts.rel_stop_tol
+            edua = nx * opts.abs_stop_tol / sn_ + opts.rel_stop_tol
+
+        # stats row
+        row_idx = st.k - k0
+        if opts.fast_solve or prob.obfn is None:
+            objv = (jnp.nan,) * len(prob.stat_names)
+        else:
+            objv = prob.obfn(cfg, aux, params, st2, xaux)
+        row = jnp.stack([jnp.float32(st.k)]
+                        + [jnp.float32(o) for o in objv]
+                        + [jnp.float32(r), jnp.float32(s),
+                           jnp.float32(epri), jnp.float32(edua),
+                           jnp.float32(st.rho)])
+        stats = jax.lax.dynamic_update_slice(
+            st.stats, row[None, :],
+            (row_idx, jnp.zeros_like(row_idx)))
+
+        if opts.verbose:
+            jax.debug.print(
+                "it {k}  obj {o:.4e}  r {r:.3e}  s {s:.3e}  rho {rho:.3e}",
+                k=st.k, o=row[1], r=r, s=s, rho=st.rho)
+
+        # adaptive rho (sporco/admm/admm.py:549-575)
+        rho, U = _update_rho(ar, st.k, r, s, st.rho, st.rho_xi, U)
+
+        return ADMMState(X=X, Y=Y, U=U, rho=rho, rho_xi=st.rho_xi,
+                         k=st.k + 1, r=r, s=s, epri=epri, edua=edua,
+                         stats=stats)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _update_rho(ar: AutoRhoOpts, k, r, s, rho, xi, U):
+    if not ar.enabled:
+        return rho, U
+    tau = ar.scaling
+    mu = ar.rsdl_ratio
+    on_period = jnp.logical_and(k != 0, (k + 1) % ar.period == 0)
+    if ar.auto_scaling:
+        ratio = jnp.where(r > s * xi, r / (s * xi), (s * xi) / r)
+        rhomlt = jnp.minimum(jnp.sqrt(ratio), tau)
+        rhomlt = jnp.where(jnp.logical_or(s == 0.0, r == 0.0), tau, rhomlt)
+    else:
+        rhomlt = jnp.asarray(tau, r.dtype)
+    rsf = jnp.where(r > xi * mu * s, rhomlt,
+                    jnp.where(s > (mu / xi) * r, 1.0 / rhomlt, 1.0))
+    rsf = jnp.where(on_period, rsf, 1.0)
+    rho = rho * rsf
+    U = _tmap(lambda u: u / rsf, U)
+    return rho, U
+
+
+def admm_solve(prob, cfg, params, opts, state):
+    """Run one (re-entrant) solve call; returns the final state.  Thin
+    host wrapper over the jitted driver."""
+    return _admm_run(prob, cfg, params, opts, state)
+
+
+def iterstats(prob, state, k_start=0):
+    """Extract an :class:`IterStats` view from a solved state."""
+    names = ("Iter",) + tuple(prob.stat_names) + \
+        ("PrimalRsdl", "DualRsdl", "EPrimal", "EDual", "Rho")
+    nvalid = int(state.k) - int(k_start)
+    return IterStats(names, state.stats, nvalid)
