@@ -293,10 +293,22 @@ def _ml1_uinit(cfg, params):
             jnp.zeros_like(params["S"]))
 
 
+def _ml1_rsdl_s(cfg, aux, params, state, Yprev):
+    """Two-block dual residual ``rho A^T U``
+    (``sporco/admm/bpdn.py:1160-1168``)."""
+    return state.rho * _ml1_cnst_at(cfg, aux, params, state.U)
+
+
+def _ml1_rsdl_sn(cfg, aux, params, state):
+    from sporco_tpu.solvers.admm import tree_norm
+    return state.rho * tree_norm(state.U)
+
+
 _ML1_PROBLEM = ADMMProblem(
     setup=_ml1_setup, xstep=_ml1_xstep, ystep=_ml1_ystep, obfn=_ml1_obfn,
     cnst_a=_ml1_cnst_a, cnst_at=_ml1_cnst_at,
     yinit=_ml1_yinit, uinit=_ml1_uinit, xinit=_ml1_xinit,
+    rsdl_s=_ml1_rsdl_s, rsdl_sn=_ml1_rsdl_sn,
     stat_names=("ObjFun", "Cnstr"))
 
 

@@ -193,11 +193,18 @@ def _tree_size(t):
 # ---------------------------------------------------------------------------
 # Residuals (generic definitions, ``sporco/admm/admm.py:722-775``)
 
+def _with_c(f, c, *trees):
+    """Tree-map ``f(c_leaf, *leaves)`` where ``c`` may be a scalar
+    (broadcast over leaves) or a pytree congruent with ``trees``."""
+    if isinstance(c, (int, float)) or (hasattr(c, "ndim") and c.ndim == 0):
+        return _tmap(lambda *ls: f(c, *ls), *trees)
+    return _tmap(f, c, *trees)
+
+
 def _generic_rsdl_r(prob, cfg, aux, params, AXnr, Y):
     BY = prob.cnst_b(cfg, aux, params, Y)
     c = prob.cnst_c(cfg, aux, params)
-    return _tmap(lambda a, b: a + b, AXnr, BY) if c is None else \
-        _tmap(lambda a, b: a + b - c, AXnr, BY)
+    return _with_c(lambda cl, a, b: a + b - cl, c, AXnr, BY)
 
 
 def _generic_rsdl_s(prob, cfg, aux, params, state, Yprev, Y):
@@ -263,15 +270,15 @@ def _admm_run(prob, cfg, params, opts, state):
         else:
             BY = prob.cnst_b(cfg, aux, params, st.Y)
             c = prob.cnst_c(cfg, aux, params)
-            AX = _tmap(lambda a, b: rlx * a - (1 - rlx) * (b - c),
-                       AXnr, BY)
+            AX = _with_c(lambda cl, a, b: rlx * a - (1 - rlx) * (b - cl),
+                         c, AXnr, BY)
         AXU = _tmap(lambda a, u: a + u, AX, st.U)
         st_x = st._replace(X=X)
         Y = prob.ystep(cfg, aux, params, st_x, AXU)
         # u-step: U += AX + B(Y) - c
         BY = prob.cnst_b(cfg, aux, params, Y)
         c = prob.cnst_c(cfg, aux, params)
-        U = _tmap(lambda u, a, b: u + a + b - c, st.U, AX, BY)
+        U = _with_c(lambda cl, u, a, b: u + a + b - cl, c, st.U, AX, BY)
         st2 = st._replace(X=X, Y=Y, U=U)
 
         # residuals (sporco/admm/admm.py:462-486)
@@ -289,7 +296,7 @@ def _admm_run(prob, cfg, params, opts, state):
             rn = prob.rsdl_rn(cfg, aux, params, st2, AXnr)
         else:
             cc = prob.cnst_c(cfg, aux, params)
-            cn = 0.0 if isinstance(cc, float) else tree_norm(cc)
+            cn = 0.0 if isinstance(cc, (int, float)) else tree_norm(cc)
             rn = jnp.maximum(jnp.maximum(tree_norm(AXnr), tree_norm(BY)),
                              cn)
         if prob.rsdl_sn is not None:
