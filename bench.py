@@ -1,0 +1,155 @@
+"""Benchmark driver: the BASELINE.json headline metric.
+
+Runs ConvBPDN (ADMM CSC) on a 512x512 image with a 64-filter 8x8
+dictionary to the reference's default stopping tolerance (normalised
+rel. primal/dual residuals <= 1e-3), on the available accelerator, and
+compares iteration throughput against the reference implementation
+(numpy CPU) measured on the same problem.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _tpu_run(D, S, lmbda, max_iter):
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    from sporco_tpu.models import cbpdn
+
+    opt = cbpdn.ConvBPDN.options(max_iter=max_iter, rel_stop_tol=1e-3)
+    # warm-up / compile
+    b = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+    t0 = time.time()
+    b.solve()
+    compile_and_solve = time.time() - t0
+    n_warm = len(b.getitstat())
+
+    # timed run (cached compile)
+    b2 = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+    t0 = time.time()
+    b2.solve()
+    t_solve = time.time() - t0
+    its = b2.getitstat()
+    n = len(its)
+    return {
+        "iters": n,
+        "time_s": t_solve,
+        "iters_per_s": n / t_solve,
+        "compile_s": compile_and_solve - t_solve,
+        "final_primal_rsdl": float(its.PrimalRsdl[-1]),
+        "final_dual_rsdl": float(its.DualRsdl[-1]),
+        "objective": float(its.ObjFun[-1]),
+        "device": str(__import__("jax").devices()[0]),
+    }
+
+
+def _cpu_reference_iters_per_s(D, S, lmbda, n_iter=5):
+    """Measure the reference implementation's iteration throughput on
+    CPU (numpy FFT fallback; pyFFTW is not installed in this image)."""
+    import subprocess
+    import tempfile
+    code = f"""
+import sys, time, warnings
+warnings.filterwarnings("ignore")
+sys.path.insert(0, "/tmp/shims"); sys.path.insert(1, "/root/reference")
+import numpy as np
+D = np.load("{{d}}"); S = np.load("{{s}}")
+from sporco.admm import cbpdn
+opt = cbpdn.ConvBPDN.Options({{{{'Verbose': False, 'MaxMainIter': {n_iter},
+                             'RelStopTol': 0.0}}}})
+b = cbpdn.ConvBPDN(D, S, {lmbda}, opt)
+t0 = time.time(); b.solve(); t1 = time.time()
+print((t1 - t0) / {n_iter})
+"""
+    with tempfile.TemporaryDirectory() as td:
+        dp, sp_ = os.path.join(td, "d.npy"), os.path.join(td, "s.npy")
+        np.save(dp, D)
+        np.save(sp_, S)
+        out = subprocess.run(
+            [sys.executable, "-c", code.format(d=dp, s=sp_)],
+            capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        if out.returncode != 0:
+            return None
+        return 1.0 / float(out.stdout.strip().splitlines()[-1])
+
+
+def _ensure_shims():
+    """The reference needs a couple of tiny pure-python compat modules
+    not installed in this image."""
+    os.makedirs("/tmp/shims/future/moves", exist_ok=True)
+    open("/tmp/shims/filetype.py", "w").write(
+        "def is_image(x):\n    return False\n")
+    open("/tmp/shims/future/__init__.py", "w").write(
+        "from . import utils\nfrom . import moves\n")
+    open("/tmp/shims/future/moves/__init__.py", "w").write(
+        "from . import itertools\n")
+    open("/tmp/shims/future/moves/itertools.py", "w").write(
+        "from itertools import zip_longest\n")
+    open("/tmp/shims/future/utils.py", "w").write('''
+PY2 = False
+
+def with_metaclass(meta, *bases):
+    proxy = type("_Proxy_" + meta.__name__, (type,), {
+        "__new__": lambda mcls, name, bs, ns: (
+            type.__new__(mcls, name, bs, ns) if name == "NewBase"
+            else meta(name, tuple(b for b in bs
+                                  if b.__name__ != "NewBase") or (object,),
+                      ns))
+    })
+    return proxy("NewBase", bases or (object,), {})
+''')
+
+
+def main():
+    rng = np.random.default_rng(0)
+    N, Nd, M = 512, 8, 64
+    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+    # natural-image-like signal: smooth background + sparse detail
+    from scipy.ndimage import gaussian_filter
+    S = gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5.0
+    S += 0.1 * rng.standard_normal((N, N))
+    S = S.astype(np.float32)
+    lmbda = 0.05
+
+    res = _tpu_run(D, S, lmbda, max_iter=500)
+
+    vs_baseline = None
+    try:
+        _ensure_shims()
+        cpu_ips = _cpu_reference_iters_per_s(D, S, lmbda, n_iter=5)
+        if cpu_ips:
+            vs_baseline = res["iters_per_s"] / cpu_ips
+            res["cpu_reference_iters_per_s"] = cpu_ips
+    except Exception as e:
+        res["baseline_error"] = str(e)[:200]
+
+    out = {
+        "metric": "ConvBPDN 512x512x64 ADMM iters/s per chip "
+                  "(to rel-residual 1e-3)",
+        "value": round(res["iters_per_s"], 2),
+        "unit": "iters/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    out.update({k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in res.items()})
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -317,6 +317,20 @@ class ConvBPDN(ADMMModel):
     def getcoef(self):
         return self.getmin()
 
+    def getcoef_internal(self):
+        """Internal-layout coefficients (dictionary-learning loop)."""
+        return self.state.Y
+
+    def setdict(self, D=None, internal=None):
+        """Update the dictionary (dictionary-learning outer loop).
+        ``internal`` takes a ``(1, Cd, M, dsz...)`` array directly."""
+        if internal is not None:
+            self.params = {**self.params, "D": internal}
+        else:
+            self.params = {**self.params,
+                           "D": cr.to_internal_D(
+                               jnp.asarray(D, self.opts.dtype), self.cri)}
+
     def reconstruct(self, X=None):
         """Reconstruct ``sum_m d_m * x_m`` (user S layout)."""
         Xi = self.state.Y if X is None \

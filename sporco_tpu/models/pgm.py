@@ -273,6 +273,17 @@ class ConvBPDN(PGMModel):
     def getcoef(self):
         return self.getmin()
 
+    def getcoef_internal(self):
+        return self.state.X
+
+    def setdict(self, D=None, internal=None):
+        if internal is not None:
+            self.params = {**self.params, "D": internal}
+        else:
+            self.params = {**self.params,
+                           "D": cr.to_internal_D(
+                               jnp.asarray(D, self.opts.dtype), self.cri)}
+
     def reconstruct(self, X=None):
         Xi = self.state.X if X is None \
             else cr.to_internal_X(jnp.asarray(X), self.cri)
@@ -508,7 +519,8 @@ class ConvCnstrMOD(PGMModel):
                                dimK=cri.dimK, dimCd=cri.dimCd, C=cri.C,
                                Cd=cri.Cd, Cx=cri.Cx, K=cri.K, M=cri.M,
                                Nv=cri.Nv, dsz=cri.Nv)
-        Zi = cr.to_internal_X(jnp.asarray(Z, dtype), csc_like)
+        Zi = cr.to_internal_X(jnp.asarray(Z, dtype), csc_like) \
+            if Z is not None else jnp.zeros(cri.shpX, dtype)
         if D0 is None:
             D0 = jnp.zeros(cri.shpD, dtype)
         else:
@@ -532,6 +544,21 @@ class ConvCnstrMOD(PGMModel):
         if crop:
             D = cr.bcrop(D, self.cri.dsz, self.cri.dimN)
         return cr.from_internal_D(D, self.cri)
+
+    def getdict_internal(self):
+        return self.state.X
+
+    def setcoef(self, Z, internal=False):
+        if not internal:
+            csc_like = cr.CSCIndex(dimN=self.cri.dimN, dimC=self.cri.dimC,
+                                   dimK=self.cri.dimK,
+                                   dimCd=self.cri.dimCd, C=self.cri.C,
+                                   Cd=self.cri.Cd, Cx=self.cri.Cx,
+                                   K=self.cri.K, M=self.cri.M,
+                                   Nv=self.cri.Nv, dsz=self.cri.Nv)
+            Z = cr.to_internal_X(jnp.asarray(Z, self.opts.dtype),
+                                 csc_like)
+        self.params = {**self.params, "Z": Z}
 
 
 class ConvCnstrMODMask(ConvCnstrMOD):

@@ -1,0 +1,296 @@
+"""Sharded consensus convolutional dictionary learning.
+
+Re-design of the reference's multiprocessing consensus CDL
+(``ConvBPDNDictLearn_Consensus``, ``sporco/dictlrn/prlcnscdl.py:275-652``
+and its masked variant ``:821-1218``) as a single fused, jit-compiled,
+device-sharded training loop -- the BASELINE.json north-star path.
+
+Mapping (SURVEY.md §3.3):
+
+- the reference's shared-memory arrays with the K axis swapped to axis 0
+  (``prlcnscdl.py:69-130``) become device arrays sharded over the mesh
+  ``"data"`` axis on their (leading) K axis;
+- the per-image fused iteration ``step_group(k)``
+  (``prlcnscdl.py:256-271``: cbpdn x/relax/y/u steps + ccmod
+  setcoef/x/relax) is embarrassingly parallel over K and runs as one
+  batched program per device;
+- the two serial synchronisation points per outer iteration --
+  ``ccmod_ystep``'s consensus mean over K + dictionary projection
+  (``prlcnscdl.py:235-243``) and ``cbpdn_setdict``'s recomputation of
+  the DFT-domain dictionary (``prlcnscdl.py:134-148``) -- become a
+  single ``jnp.mean`` over the sharded K axis, which XLA lowers to an
+  all-reduce over ICI, followed by replicated elementwise work;
+- like the reference, there is no residual-based stopping and no
+  adaptive rho in this path (``prlcnscdl.py:319-323``): the whole solve
+  is one ``lax.fori_loop``.
+
+The same class runs unchanged on 1 device (no collectives) or on an
+N-device mesh; the dictionary (small) is replicated, signals and
+coefficients are sharded.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+from sporco_tpu import cnvrep as cr
+from sporco_tpu.ops import fft as sf
+from sporco_tpu.ops import linalg as sl
+from sporco_tpu.ops import prox as sp
+from sporco_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from sporco_tpu.utils.timer import Timer
+
+__all__ = ["ConvBPDNDictLearn_Consensus",
+           "ConvBPDNMaskDcplDictLearn_Consensus"]
+
+
+@dataclass(frozen=True)
+class _CnsConfig:
+    cri: cr.CDUIndex
+    dsz: tuple
+    zero_mean: bool = False
+    masked: bool = False
+    relax_x: float = 1.8
+    relax_d: float = 1.8
+
+
+def _fftaxes(cri):
+    return tuple(range(-cri.dimN, 0))
+
+
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(2,))
+def _consensus_solve(cfg, params, state, n_iter):
+    """Run ``n_iter`` fused consensus-CDL outer iterations
+    (the jitted equivalent of ``prlcnscdl.py:496-513`` x ``n_iter``)."""
+    cri = cfg.cri
+    axes = _fftaxes(cri)
+    Nv = cri.Nv
+    S = params["S"]
+    W = params.get("W")
+    lmbda = params["lmbda"]
+    rho_x = params["rho_x"]
+    rho_d = params["rho_d"]
+    ax_ = cfg.relax_x
+    ad_ = cfg.relax_d
+    Sf = sf.rfftn(S, axes=axes)
+
+    def pcn(V):
+        return cr.Pcn(V, cfg.dsz, Nv, dimN=cri.dimN, zm=cfg.zero_mean)
+
+    def body(i, st):
+        ZY, ZU, ZY0, ZU0, DY, DU = st
+        # --- cbpdn_setdict (prlcnscdl.py:134-148) ---
+        Df = sf.rfftn(DY, axes=axes)
+        DSf = jnp.conj(Df) * Sf
+        if cri.Cd > 1:
+            DSf = jnp.sum(DSf, axis=1, keepdims=True)
+
+        if cfg.masked:
+            # masked variant (prlcnscdl.py:821-1218): two-block CSC
+            # x-step with rho = 1 and blocks (y0 signal, y1 coef)
+            YU0f = sf.rfftn(ZY0 - ZU0 + S, axes=axes)
+            YU1f = sf.rfftn(ZY - ZU, axes=axes)
+            if cri.Cd == 1:
+                b = jnp.conj(Df) * YU0f + YU1f
+            else:
+                b = jnp.sum(jnp.conj(Df) * YU0f, axis=1,
+                            keepdims=True) + YU1f
+            Zxf = sl.solvedbi_sm(Df, 1.0, b, axis=2) if cri.Cd == 1 \
+                else sl.solvemdbi_ism(Df, 1.0, b, axisM=2, axisK=1)
+            Zx = sf.irfftn(Zxf, s=Nv, axes=axes)
+            DZxf = jnp.sum(Df * Zxf, axis=2, keepdims=True)
+            DZx = sf.irfftn(DZxf, s=Nv, axes=axes)
+            AX0 = ax_ * DZx - (1 - ax_) * (-ZY0 - S)
+            AX1 = ax_ * Zx + (1 - ax_) * ZY
+            v0 = AX0 + ZU0 - S
+            ZY0n = rho_x * v0 / (W ** 2 + rho_x)
+            ZYn = sp.prox_l1(AX1 + ZU, (lmbda / rho_x) * params["wl1"])
+            ZU0n = ZU0 + AX0 - ZY0n - S
+            ZUn = ZU + AX1 - ZYn
+            ZY0, ZU0 = ZY0n, ZU0n
+            ZY, ZU = ZYn, ZUn
+        else:
+            # --- cbpdn x/relax/y/u steps (prlcnscdl.py:152-196) ---
+            b = DSf + rho_x * sf.rfftn(ZY - ZU, axes=axes)
+            if cri.Cd == 1:
+                Zxf = sl.solvedbi_sm(Df, rho_x, b, axis=2)
+            else:
+                Zxf = sl.solvemdbi_ism(Df, rho_x, b, axisM=2, axisK=1)
+            Zx = sf.irfftn(Zxf, s=Nv, axes=axes)
+            AX = ax_ * Zx + (1 - ax_) * ZY
+            ZYn = sp.prox_l1(AX + ZU, (lmbda / rho_x) * params["wl1"])
+            ZU = ZU + AX - ZYn
+            ZY = ZYn
+
+        # --- ccmod setcoef (prlcnscdl.py:199-209) ---
+        Zf = sf.rfftn(ZY, axes=axes)
+        if cfg.masked:
+            # dictionary step fits y0 + s (the masked-consistent part)
+            ZSf = jnp.conj(Zf) * sf.rfftn(ZY0 + S, axes=axes)
+        else:
+            ZSf = jnp.conj(Zf) * Sf
+
+        # --- ccmod xstep + relax per signal (prlcnscdl.py:212-232) ---
+        bD = ZSf + rho_d * sf.rfftn(DY - DU, axes=axes)
+        DXf = sl.solvedbi_sm(Zf, rho_d, bD, axis=2)
+        DX = sf.irfftn(DXf, s=Nv, axes=axes)
+        DAX = ad_ * DX + (1 - ad_) * DY
+
+        # --- the all-reduce: consensus mean + projection
+        #     (prlcnscdl.py:235-243).  With a single-channel dictionary
+        # and multi-channel signals the per-channel updates are extra
+        # consensus blocks (the reference folds C onto K,
+        # ccmod.py:270-280) ---
+        blk_axes = (0, 1) if (cri.Cd == 1 and cri.C > 1) else (0,)
+        DYn = pcn(jnp.mean(DAX + DU, axis=blk_axes, keepdims=True))
+        DU = DU + DAX - DYn
+        return (ZY, ZU, ZY0, ZU0, DYn, DU)
+
+    state = jax.lax.fori_loop(0, n_iter, body, state)
+    return state
+
+
+@jax.jit
+def _cns_objective(cfg_dummy, D, ZY, S, lmbda, wl1):
+    """Functional value over all signals (``prlcnscdl.py:623-652``)."""
+    dimN = S.ndim - 3
+    axes = tuple(range(-dimN, 0))
+    Df = sf.rfftn(D, s=S.shape[-dimN:], axes=axes)
+    Zf = sf.rfftn(ZY, axes=axes)
+    Ef = jnp.sum(Df * Zf, axis=2, keepdims=True) - sf.rfftn(S, axes=axes)
+    dfd = 0.5 * sf.rfl2norm2(Ef, S.shape[-dimN:], axis=axes)
+    reg = jnp.sum(jnp.abs(wl1 * ZY))
+    return dfd + lmbda * reg, dfd, reg
+
+
+class ConvBPDNDictLearn_Consensus:
+    r"""Fused, device-sharded consensus convolutional dictionary
+    learning (``sporco/dictlrn/prlcnscdl.py:275``).
+
+    ``solve()`` runs ``max_iter`` fused outer iterations as a single
+    jitted ``fori_loop``.  With a multi-device ``mesh``, the signal
+    axis K is sharded over the mesh "data" axis and the dictionary
+    consensus mean becomes an ICI all-reduce.
+    """
+
+    MASKED = False
+
+    def __init__(self, D0, S, lmbda, W=None, opt=None, max_iter=100,
+                 dimK=None, dimN=2, zero_mean=False, rho_x=None,
+                 rho_d=None, relax=1.8, wl1=1.0, mesh=None,
+                 dtype=jnp.float32):
+        self.timer = Timer(["init", "solve"])
+        self.timer.start("init")
+        D0 = jnp.asarray(D0, dtype)
+        S = jnp.asarray(S, dtype)
+        dsz = D0.shape
+        cri = cr.cdu_index(tuple(dsz), S.shape, dimK=dimK, dimN=dimN)
+        self.cri = cri
+        self.max_iter = max_iter
+        self.dtype = dtype
+        Si = cr.to_internal_S(S, cri)
+        csc_like = cr.CSCIndex(dimN=cri.dimN, dimC=cri.dimC,
+                               dimK=cri.dimK, dimCd=cri.dimCd, C=cri.C,
+                               Cd=cri.Cd, Cx=cri.Cx, K=cri.K, M=cri.M,
+                               Nv=cri.Nv, dsz=tuple(dsz[:dimN]))
+        D0i = cr.Pcn(cr.to_internal_D(D0, csc_like), tuple(dsz),
+                     cri.Nv, dimN=dimN, zm=zero_mean)
+        self.cfg = _CnsConfig(cri=cri, dsz=tuple(dsz),
+                              zero_mean=zero_mean, masked=self.MASKED,
+                              relax_x=relax, relax_d=relax)
+        wl1a = jnp.asarray(wl1, dtype)
+        if wl1a.ndim > 0:
+            wl1a = cr.l1_weight(wl1a, csc_like)
+        self.params = {
+            "S": Si,
+            "lmbda": jnp.asarray(lmbda, dtype),
+            "wl1": wl1a,
+            "rho_x": jnp.asarray(
+                50.0 * lmbda + 1.0 if rho_x is None else rho_x, dtype),
+            "rho_d": jnp.asarray(
+                float(cri.K) if rho_d is None else rho_d, dtype),
+        }
+        if self.MASKED:
+            if W is None:
+                W = jnp.ones((1,) * (3 + dimN), dtype)
+            else:
+                W = cr.fidelity_mask(jnp.asarray(W, dtype), cri)
+            self.params["W"] = W
+            self.params["rho_x"] = jnp.asarray(
+                1.0 if rho_x is None else rho_x, dtype)
+
+        K, Cx, M = cri.K, cri.Cx, cri.M
+        shpX = (K, Cx, M) + tuple(cri.Nv)
+        shpS = (K, cri.C, 1) + tuple(cri.Nv)
+        # D consensus blocks: per signal, plus per channel when the
+        # dictionary is single-channel but signals are multi-channel
+        Cb = cri.C if cri.Cd == 1 else cri.Cd
+        shpDb = (K, Cb, M) + tuple(cri.Nv)
+        z = jnp.zeros
+        self.state = (z(shpX, dtype), z(shpX, dtype),      # ZY, ZU
+                      z(shpS, dtype), z(shpS, dtype),      # ZY0, ZU0
+                      D0i, z(shpDb, dtype))                # DY, DU
+
+        # device placement: K-sharded batch arrays, replicated dict
+        self.mesh = mesh
+        if mesh is not None:
+            shard = lambda x: jax.device_put(
+                x, data_sharding(mesh, 0, x.ndim))
+            rep = lambda x: jax.device_put(x, replicated(mesh))
+            ZY, ZU, ZY0, ZU0, DY, DU = self.state
+            self.state = (shard(ZY), shard(ZU), shard(ZY0), shard(ZU0),
+                          rep(DY), shard(DU))
+            self.params = jax.tree_util.tree_map(
+                lambda x: rep(x) if x.shape[:1] != (K,) else shard(x),
+                self.params)
+        self.j = 0
+        self.timer.stop("init")
+
+    def step(self, n=1):
+        """Run ``n`` fused outer iterations."""
+        self.state = _consensus_solve(self.cfg, self.params, self.state,
+                                      n)
+        self.j += n
+        return self
+
+    def solve(self):
+        self.timer.start("solve")
+        self.step(self.max_iter)
+        jax.block_until_ready(self.state)
+        self.timer.stop("solve")
+        return self.getdict()
+
+    def getdict(self, crop=True):
+        D = self.state[4]
+        if crop:
+            D = cr.bcrop(D, self.cfg.dsz, self.cri.dimN)
+        return cr.from_internal_D(D, self.cri)
+
+    def getcoef(self):
+        csc_like = cr.CSCIndex(dimN=self.cri.dimN, dimC=self.cri.dimC,
+                               dimK=self.cri.dimK, dimCd=self.cri.dimCd,
+                               C=self.cri.C, Cd=self.cri.Cd,
+                               Cx=self.cri.Cx, K=self.cri.K,
+                               M=self.cri.M, Nv=self.cri.Nv,
+                               dsz=self.cfg.dsz)
+        return cr.from_internal_X(self.state[0], csc_like)
+
+    def evaluate(self):
+        """Objective over all signals (an all-reduce when sharded)."""
+        obj, dfd, reg = _cns_objective(None, self.state[4],
+                                       self.state[0], self.params["S"],
+                                       self.params["lmbda"],
+                                       self.params["wl1"])
+        return (float(obj), float(dfd), float(reg))
+
+
+class ConvBPDNMaskDcplDictLearn_Consensus(ConvBPDNDictLearn_Consensus):
+    r"""Masked consensus CDL (``sporco/dictlrn/prlcnscdl.py:821``): the
+    CSC step uses mask decoupling (two-block), fused into the same
+    sharded loop."""
+    MASKED = True
