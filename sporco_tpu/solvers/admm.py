@@ -133,6 +133,9 @@ class ADMMProblem:
     yinit: Optional[Callable] = None     # (cfg, params) -> Y0
     xinit: Optional[Callable] = None     # (cfg, params) -> X0 (defaults to
                                          # zeros with Y's structure)
+    extra_init: Optional[Callable] = None   # (cfg, params) -> extra carry
+    update_extra: Optional[Callable] = None # (cfg,aux,params,state,xaux)
+                                            # -> new extra (after y/u steps)
     stat_names: Tuple[str, ...] = ("Obj", "F", "G")
 
 
@@ -149,6 +152,8 @@ class ADMMState(NamedTuple):
     epri: jnp.ndarray
     edua: jnp.ndarray
     stats: jnp.ndarray      # (max_iter, nstat) buffer for this solve call
+    extra: Any = ()         # problem-specific carry (e.g. smoothed
+                            # inhibition weights)
 
 
 class IterStats:
@@ -242,6 +247,7 @@ def init_state(prob, cfg, params, opts, rho0, rho_xi=1.0,
         r=jnp.asarray(jnp.inf, rdt), s=jnp.asarray(jnp.inf, rdt),
         epri=jnp.asarray(0.0, rdt), edua=jnp.asarray(0.0, rdt),
         stats=jnp.full((opts.max_iter, nstat), jnp.nan, jnp.float32),
+        extra=prob.extra_init(cfg, params) if prob.extra_init else (),
     )
 
 
@@ -280,6 +286,9 @@ def _admm_run(prob, cfg, params, opts, state):
         c = prob.cnst_c(cfg, aux, params)
         U = _with_c(lambda cl, u, a, b: u + a + b - cl, c, st.U, AX, BY)
         st2 = st._replace(X=X, Y=Y, U=U)
+        if prob.update_extra is not None:
+            st2 = st2._replace(
+                extra=prob.update_extra(cfg, aux, params, st2, xaux))
 
         # residuals (sporco/admm/admm.py:462-486)
         if prob.rsdl_r is not None:
@@ -343,7 +352,7 @@ def _admm_run(prob, cfg, params, opts, state):
 
         return ADMMState(X=X, Y=Y, U=U, rho=rho, rho_xi=st.rho_xi,
                          k=st.k + 1, r=r, s=s, epri=epri, edua=edua,
-                         stats=stats)
+                         stats=stats, extra=st2.extra)
 
     return jax.lax.while_loop(cond, body, state)
 
