@@ -52,6 +52,8 @@ class CSCConfig:
     obj_from_x: bool = True   # AuxVarObj=False semantics (cbpdn default)
     lin_check: bool = False
     ams_nimp: int = 0         # >0: last ams_nimp filters are AMS impulses
+    real: bool = True         # complex-input dispatch (the analogue of
+                              # sporco/admm/cbpdn.py:213-217)
 
 
 # --- shared DFT-domain pieces ---------------------------------------------
@@ -60,11 +62,28 @@ def _fftaxes(cri):
     return tuple(range(-cri.dimN, 0))
 
 
+def _fwd(cfg):
+    return sf.rfftn if cfg.real else sf.fftn
+
+
+def _inv(cfg, xf, Nv, axes):
+    if cfg.real:
+        return sf.irfftn(xf, s=Nv, axes=axes)
+    return sf.ifftn(xf, s=Nv, axes=axes)
+
+
+def _pnorm2(cfg, xf, Nv, axes):
+    """Parseval norm matching the bound transform family."""
+    if cfg.real:
+        return sf.rfl2norm2(xf, Nv, axis=axes)
+    return sf.fl2norm2(xf, axis=axes)
+
+
 def _csc_setup(cfg, params):
     cri = cfg.cri
     axes = _fftaxes(cri)
-    Df = sf.rfftn(params["D"], s=cri.Nv, axes=axes)
-    Sf = sf.rfftn(params["S"], axes=axes)
+    Df = _fwd(cfg)(params["D"], s=cri.Nv, axes=axes)
+    Sf = _fwd(cfg)(params["S"], axes=axes)
     DSf = jnp.conj(Df) * Sf
     if cri.Cd > 1:
         DSf = jnp.sum(DSf, axis=1, keepdims=True)
@@ -107,7 +126,7 @@ def _csc_xstep(cfg, aux, params, state):
     axes = _fftaxes(cri)
     rho = state.rho
     YU = state.Y - state.U
-    b = aux["DSf"] + rho * sf.rfftn(YU, axes=axes)
+    b = aux["DSf"] + rho * _fwd(cfg)(YU, axes=axes)
     if cfg.variant == "elastic":
         rho_s = rho + params["mu"]
         Xf = _sm_solve(cfg, aux, rho_s, b)
@@ -119,7 +138,7 @@ def _csc_xstep(cfg, aux, params, state):
     else:
         Xf = _sm_solve(cfg, aux, rho, b)
         diag = rho
-    X = sf.irfftn(Xf, s=cri.Nv, axes=axes)
+    X = _inv(cfg, Xf, cri.Nv, axes)
     xaux = {"Xf": Xf}
     if cfg.lin_check:
         xaux["xrrs"] = _xrrs(cfg, aux, Xf, b, diag)
@@ -165,8 +184,8 @@ def _csc_dfd(cfg, aux, fvarf):
     """Data fidelity ``(1/2)||sum_m d_m * x_m - s||^2`` in the DFT
     domain with Parseval correction (``sporco/admm/cbpdn.py:337``)."""
     DXf = jnp.sum(aux["Df"] * fvarf, axis=2, keepdims=True)
-    return 0.5 * sf.rfl2norm2(DXf - aux["Sf"], cfg.cri.Nv,
-                              axis=tuple(range(-cfg.cri.dimN, 0)))
+    return 0.5 * _pnorm2(cfg, DXf - aux["Sf"], cfg.cri.Nv,
+                         tuple(range(-cfg.cri.dimN, 0)))
 
 
 def _csc_obfn(cfg, aux, params, state, xaux):
@@ -176,7 +195,7 @@ def _csc_obfn(cfg, aux, params, state, xaux):
         fvarf = xaux["Xf"]
         gvar = state.X
     else:
-        fvarf = sf.rfftn(state.Y, axes=axes)
+        fvarf = _fwd(cfg)(state.Y, axes=axes)
         gvar = state.Y
     dfd = _csc_dfd(cfg, aux, fvarf)
     xr = xaux.get("xrrs", jnp.nan) if cfg.lin_check else jnp.nan
@@ -188,7 +207,7 @@ def _csc_obfn(cfg, aux, params, state, xaux):
     rl1 = jnp.sum(jnp.abs(params["wl1"] * gvar))
     if cfg.variant == "joint":
         rl21 = jnp.sum(params["wl21"]
-                       * jnp.sqrt(jnp.sum(gvar ** 2, axis=1)))
+                       * jnp.sqrt(jnp.sum(jnp.abs(gvar) ** 2, axis=1)))
         return (dfd + params["lmbda"] * rl1 + params["mu"] * rl21,
                 dfd, rl1, rl21, xr)
     if cfg.variant == "elastic":
@@ -233,8 +252,12 @@ def _max_abs_dhs(D, S, Nv_dummy):
     (``sporco/admm/cbpdn.py:573-578``); jitted so the complex
     intermediates never cross the jit boundary."""
     axes = tuple(range(-(Nv_dummy.ndim), 0))
-    Df = sf.rfftn(D, s=Nv_dummy.shape, axes=axes)
-    Sf = sf.rfftn(S, axes=axes)
+    if jnp.iscomplexobj(D) or jnp.iscomplexobj(S):
+        Df = sf.fftn(D, s=Nv_dummy.shape, axes=axes)
+        Sf = sf.fftn(S, axes=axes)
+    else:
+        Df = sf.rfftn(D, s=Nv_dummy.shape, axes=axes)
+        Sf = sf.rfftn(S, axes=axes)
     return jnp.max(jnp.abs(jnp.conj(Df) * Sf))
 
 
@@ -270,6 +293,11 @@ class ConvBPDN(ADMMModel):
         super().__init__()
         if opt is None:
             opt = self.options()
+        # complex-input dispatch (sporco/admm/cbpdn.py:213-217)
+        real = not (jnp.iscomplexobj(jnp.asarray(D))
+                    or jnp.iscomplexobj(jnp.asarray(S)))
+        if not real:
+            dtype = sf.complex_dtype(dtype)
         D = jnp.asarray(D, dtype)
         S = jnp.asarray(S, dtype)
         cri = cr.csc_index(D.shape, S.shape, dimK=dimK, dimN=dimN)
@@ -283,19 +311,20 @@ class ConvBPDN(ADMMModel):
         self.lmbda = lmbda
         self.cfg = CSCConfig(cri=cri, variant=self.VARIANT,
                              non_neg=non_neg, no_bndry=no_bndry,
-                             lin_check=lin_check)
+                             lin_check=lin_check, real=real)
         self.opts = opt.replace(dtype=dtype)
-        wl1a = jnp.asarray(wl1, dtype)
+        rdt = sf.real_dtype(dtype)
+        wl1a = jnp.asarray(wl1, rdt)
         if wl1a.ndim > 0:
             wl1a = cr.l1_weight(wl1a, cri)
         self.params = {
             "D": Di, "S": Si,
-            "lmbda": jnp.asarray(0.0 if lmbda is None else lmbda, dtype),
+            "lmbda": jnp.asarray(0.0 if lmbda is None else lmbda, rdt),
             "wl1": wl1a,
-            "mu": jnp.asarray(mu, dtype),
-            "wl21": jnp.asarray(wl21, dtype),
-            "wgrd": _wgrd_internal(wgrd, cri, dtype),
-            "gamma": jnp.asarray(0.0 if gamma is None else gamma, dtype),
+            "mu": jnp.asarray(mu, rdt),
+            "wl21": jnp.asarray(wl21, rdt),
+            "wgrd": _wgrd_internal(wgrd, cri, rdt),
+            "gamma": jnp.asarray(0.0 if gamma is None else gamma, rdt),
         }
         self.problem = _CSC_PROBLEMS[self.VARIANT]
         lm = lmbda if lmbda is not None else 1.0
@@ -350,6 +379,11 @@ def _wgrd_internal(wgrd, cri, dtype):
 @jax.jit
 def _reconstruct_jit(D, X, Nv_dummy):
     axes = tuple(range(-(Nv_dummy.ndim), 0))
+    if jnp.iscomplexobj(D) or jnp.iscomplexobj(X):
+        Df = sf.fftn(D, s=Nv_dummy.shape, axes=axes)
+        Xf = sf.fftn(X, axes=axes)
+        DXf = jnp.sum(Df * Xf, axis=2, keepdims=True)
+        return sf.ifftn(DXf, s=Nv_dummy.shape, axes=axes)
     Df = sf.rfftn(D, s=Nv_dummy.shape, axes=axes)
     Xf = sf.rfftn(X, axes=axes)
     DXf = jnp.sum(Df * Xf, axis=2, keepdims=True)

@@ -319,3 +319,31 @@ class TestMasked:
         assert np.all(np.isfinite(its.ObjFun))
         Sr = ams.reconstruct()
         assert Sr.shape[:2] == (16, 16)
+
+
+class TestComplex:
+    """Complex-valued input support (the reference's test_10cplx
+    pattern, tests/admm/test_cbpdn.py:178-200)."""
+
+    def test_complex_recovery(self):
+        rng = np.random.default_rng(12345)
+        N, M, Nd = 32, 4, 8
+        D = rng.standard_normal((Nd, Nd, M)) \
+            + 1j * rng.standard_normal((Nd, Nd, M))
+        X0 = np.zeros((N, N, M), complex)
+        xp = np.abs(rng.standard_normal((N, N, M))) > 2.5
+        nsp = int(xp.sum())
+        X0[xp] = rng.standard_normal(nsp) + 1j * rng.standard_normal(nsp)
+        Df = np.fft.fftn(D, s=(N, N), axes=(0, 1))
+        Xf = np.fft.fftn(X0, axes=(0, 1))
+        S = np.fft.ifftn(np.sum(Df * Xf, axis=2), axes=(0, 1))
+        opt = cbpdn.ConvBPDN.options(max_iter=500, rel_stop_tol=1e-9,
+                                     rho=1e-1,
+                                     auto_rho=AutoRhoOpts(enabled=False))
+        b = cbpdn.ConvBPDN(D, S, lmbda=1e-4, opt=opt,
+                           dtype=jnp.float64)
+        X = b.solve()
+        assert jnp.iscomplexobj(X)
+        assert float(rrs(jnp.array(X0), jnp.squeeze(X))) < 5e-5
+        Sr = b.reconstruct()
+        assert float(rrs(jnp.array(S), Sr)) < 1e-4

@@ -1,0 +1,150 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sporco_tpu.utils import util, interp, plot
+from sporco_tpu import accel
+
+
+class TestUtil:
+
+    def test_tiledict_conv(self):
+        D = np.random.default_rng(0).standard_normal((8, 8, 16))
+        im = util.tiledict(D)
+        assert im.ndim == 2 and im.min() >= 0 and im.max() <= 1
+
+    def test_tiledict_matrix(self):
+        D = np.random.default_rng(0).standard_normal((64, 9))
+        im = util.tiledict(D, sz=(8, 8))
+        assert im.ndim == 2
+
+    def test_tiledict_multichannel(self):
+        D = np.random.default_rng(0).standard_normal((8, 8, 3, 9))
+        im = util.tiledict(D)
+        assert im.ndim == 3 and im.shape[2] == 3
+
+    def test_convdicts(self):
+        cd = util.convdicts()
+        assert len(cd) > 0
+        k = list(cd.keys())[0]
+        assert cd[k].ndim >= 3
+
+    def test_example_images(self):
+        ei = util.ExampleImages(scaled=True)
+        names = ei.images()
+        assert len(names) > 0
+        img = ei.image(names[0])
+        assert img.ndim in (2, 3)
+        g = ei.image(names[0], gray=True)
+        assert g.ndim == 2
+
+    def test_example_image_idx(self):
+        ei = util.ExampleImages(scaled=True, gray=True)
+        img = ei.image(ei.images()[0], idxexp=np.s_[10:74, 10:74])
+        assert img.shape == (64, 64)
+
+
+class TestInterp:
+
+    def setup_method(self):
+        self.rng = np.random.default_rng(12345)
+
+    def test_lstabsdev(self):
+        A = self.rng.standard_normal((32, 4))
+        x0 = self.rng.standard_normal(4)
+        b = A @ x0
+        b[::8] += 10.0    # gross outliers
+        x = interp.lstabsdev(A, b)
+        assert np.linalg.norm(x - x0) < 1e-6   # LAD ignores outliers
+
+    def test_lstabsdev_irls(self):
+        A = self.rng.standard_normal((32, 4))
+        x0 = self.rng.standard_normal(4)
+        b = A @ x0
+        b[::8] += 10.0
+        x = np.asarray(interp.lstabsdev_irls(A, b))
+        assert np.linalg.norm(x - x0) < 1e-3
+
+    def test_lstmaxdev(self):
+        A = self.rng.standard_normal((32, 4))
+        x0 = self.rng.standard_normal(4)
+        b = A @ x0 + 0.01 * self.rng.uniform(-1, 1, 32)
+        x = interp.lstmaxdev(A, b)
+        assert np.max(np.abs(A @ x - b)) <= \
+            np.max(np.abs(A @ np.linalg.lstsq(A, b, rcond=None)[0] - b)) \
+            + 1e-9
+
+    def test_demosaic(self):
+        img = self.rng.random((16, 16))
+        rgb = interp.bilinear_demosaic(img)
+        assert rgb.shape == (16, 16, 3)
+        # samples preserved at their grid positions
+        assert np.allclose(rgb[1::2, 1::2, 0], img[1::2, 1::2])
+        assert np.allclose(rgb[0::2, 0::2, 2], img[0::2, 0::2])
+
+    def test_lanczos(self):
+        k = np.asarray(interp.lanczos_kernel(jnp.array([0.0, 0.5, 3.5])))
+        assert abs(k[0] - 1.0) < 1e-6 and k[2] == 0.0
+        f = interp.lanczos_filters((4,))
+        assert f.shape[0] == 6
+        assert np.allclose(np.asarray(f).sum(axis=0), 1.0)
+        f2 = interp.lanczos_filters((2, 2))
+        assert f2.shape[:2] == (6, 6) and f2.shape[-1] == 4
+
+
+class TestPlot:
+
+    def test_plot_surf_contour_imview(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg")
+        x = np.linspace(0, 1, 16)
+        fig, ax = plot.plot(np.sin(x), x=x, title="t", xlbl="x")
+        z = np.outer(np.sin(x), np.cos(x))
+        plot.surf(z, title="s")
+        plot.contour(z, title="c")
+        plot.imview(z, title="i", cbar=True, fltscl=True)
+        plot.close()
+
+
+class TestAccel:
+
+    def setup_method(self):
+        rng = np.random.default_rng(12345)
+        self.D = rng.standard_normal((5, 5, 8))
+        self.D /= np.sqrt((self.D ** 2).sum(axis=(0, 1), keepdims=True))
+        self.S = rng.standard_normal((16, 16))
+        self.W = (rng.random((16, 16)) > 0.2).astype(np.float64)
+
+    def test_cbpdn(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        X = accel.cbpdn(self.D, self.S, 0.1,
+                        opt=ConvBPDN.options(max_iter=10),
+                        dtype=jnp.float64)
+        assert X.shape == (16, 16, 1, 1, 8)
+
+    def test_cbpdngrd(self):
+        from sporco_tpu.models.cbpdn import ConvBPDNGradReg
+        X = accel.cbpdngrd(self.D, self.S, 0.1, 0.01,
+                           opt=ConvBPDNGradReg.options(max_iter=10),
+                           dtype=jnp.float64)
+        assert X.shape == (16, 16, 1, 1, 8)
+
+    def test_cbpdnmsk(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        X = accel.cbpdnmsk(self.D, self.S, self.W, 0.1,
+                           opt=ConvBPDN.options(max_iter=10),
+                           dtype=jnp.float64)
+        assert X.shape[-1] == 8
+
+    def test_cbpdngrdmsk(self):
+        from sporco_tpu.models.cbpdn import ConvBPDNGradReg
+        X = accel.cbpdngrdmsk(self.D, self.S, self.W, 0.1, 0.01,
+                              opt=ConvBPDNGradReg.options(max_iter=10),
+                              dtype=jnp.float64)
+        assert X.shape[-1] == 8
+
+    def test_device_utils(self):
+        assert accel.device_count() >= 1
+        assert isinstance(accel.device_name(0), str)
+        free, total = accel.memory_info()
+        assert isinstance(total, int)
