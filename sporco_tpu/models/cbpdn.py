@@ -40,7 +40,8 @@ from sporco_tpu.utils.signal import gradient_filters
 
 __all__ = ["ConvBPDN", "ConvBPDNJoint", "ConvElasticNet",
            "ConvBPDNGradReg", "ConvBPDNProjL1", "ConvBPDNMaskDcpl",
-           "ConvL1L1Grd", "ConvMinL1InL2Ball", "AddMaskSim"]
+           "ConvL1L1Grd", "ConvMinL1InL2Ball", "AddMaskSim",
+           "MultiDictConvBPDN"]
 
 
 @dataclass(frozen=True)
@@ -815,3 +816,66 @@ class AddMaskSim:
             [jnp.asarray(X),
              jnp.zeros(X.shape[:-1] + (self.cri.Cd,), X.dtype)], axis=-1)
         return self.cbpdn.reconstruct(full)
+
+
+class MultiDictConvBPDN:
+    """Joint sparse coding of multiple signals against multiple
+    dictionaries with shared coefficient maps (capability of
+    ``sporco/admm/cbpdn.py:2779``): the dictionaries are stacked on the
+    channel axis, so ``argmin_x sum_b (1/2)||D_b x - s_b||^2 +
+    lmbda ||x||_1`` becomes one multi-channel ConvBPDN problem.
+
+    Usage: ``MultiDictConvBPDN(ConvBPDN, [D0, D1], [S0, S1], lmbda,
+    opt=...)``.
+    """
+
+    def __init__(self, cbpdnclass, D, S, *args, dtype=jnp.float32,
+                 **kwargs):
+        dimN = kwargs.get("dimN", 2)
+        dimC = np.asarray(D[0]).ndim - dimN - 1
+        M = np.asarray(D[0]).shape[-1]
+        chn = [1] * len(D) if dimC == 0 else \
+            [np.asarray(D[b]).shape[dimN] for b in range(len(D))]
+        C = int(np.sum(chn))
+        dsz = np.zeros(dimN, dtype=int)
+        for b in range(len(D)):
+            dsz = np.maximum(dsz, np.asarray(D[b]).shape[:dimN])
+        Dm = np.zeros(tuple(dsz.tolist()) + (C, M))
+        chncs = np.cumsum(np.asarray([0] + chn))
+        slc0 = (slice(None),) * dimN + (np.newaxis,) * (1 - dimC)
+        for b in range(len(D)):
+            Db = np.asarray(D[b])
+            slc1 = tuple([slice(0, n) for n in Db.shape[:dimN]]
+                         + [slice(chncs[b], chncs[b + 1])])
+            Dm[slc1] = Db[slc0]
+        Sm = np.concatenate([np.asarray(S[b])[slc0]
+                             for b in range(len(S))], axis=dimN + dimC)
+        self.cbpdn = cbpdnclass(Dm, Sm, *args, dtype=dtype, **kwargs)
+        self.dimN = dimN
+        self.chn = chn
+        self.chncs = chncs
+        self.C = C
+        self.timer = self.cbpdn.timer
+
+    def solve(self):
+        return self.cbpdn.solve()
+
+    def getcoef(self):
+        return self.cbpdn.getcoef()
+
+    def getitstat(self):
+        return self.cbpdn.getitstat()
+
+    @property
+    def itstat(self):
+        return self.cbpdn.itstat
+
+    def reconstruct(self, b=None, X=None):
+        """Reconstruct against dictionary ``b`` (or all, stacked on the
+        channel axis, if ``b`` is None)."""
+        full = self.cbpdn.reconstruct(X)
+        if b is None:
+            return full
+        sl_ = (slice(None),) * self.dimN + \
+            (slice(int(self.chncs[b]), int(self.chncs[b + 1])),)
+        return full[sl_]

@@ -279,15 +279,20 @@ class ConvBPDNMaskDictLearn(ConvBPDNDictLearn):
             dstep.params = {**dstep.params,
                             "Z": jnp.zeros(xstep.cri.shpX, dtype)}
         else:
-            dopt = _ccmod.ConvCnstrMODBase.options(max_iter=1,
-                                                   rel_stop_tol=0.0)
-            dstep = _ccmod.ConvCnstrMOD(None, S, dsz, opt=dopt,
-                                        method=dmethod, dimK=dimK,
-                                        dimN=dimN, D0=D0u,
-                                        zero_mean=zero_mean,
-                                        dtype=dtype)
-            dstep.state = dstep.state._replace(
-                Y=cr.zpad(D0i, dstep.cri.Nv))
+            # masked dictionary update (ccmodmd)
+            from sporco_tpu.models import ccmodmd as _ccmodmd
+            dopt = _ccmodmd.ConvCnstrMODMaskDcplOptions(
+                method=dmethod, max_iter=1, rel_stop_tol=0.0)
+            dstep = _ccmodmd.ConvCnstrMODMaskDcpl(
+                None, S, W, dsz, opt=dopt, method=dmethod, dimK=dimK,
+                dimN=dimN, D0=D0u, zero_mean=zero_mean, dtype=dtype)
+            D0pad = cr.zpad(D0i, dstep.cri.Nv)
+            if dmethod == "cns":
+                dstep.state = dstep.state._replace(
+                    Y=(D0pad, dstep.state.Y[1]))
+            else:
+                dstep.state = dstep.state._replace(
+                    Y=(dstep.state.Y[0], D0pad))
         DictLearn.__init__(self, xstep, dstep, max_iter=max_iter)
 
     def post_xstep(self):
