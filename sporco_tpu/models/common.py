@@ -63,6 +63,77 @@ class ADMMModel:
     def load_state(self, d):
         self.state = type(self.state)(**d)
 
+    def save_state(self, path):
+        """Checkpoint the solver state to an ``.npz`` file (the
+        capability the reference provides through pickling solver
+        objects, ``sporco/common.py:24-82``)."""
+        _save_pytree(path, self.state)
+
+    def load_state_file(self, path):
+        """Restore a checkpoint written by :meth:`save_state`."""
+        self.state = _load_pytree(path, self.state)
+
+    def solve_chunked(self, callback, chunk=10, max_chunks=None):
+        """Run the solve in host-visible chunks, invoking
+        ``callback(model)`` between chunks (the capability of the
+        reference's per-iteration ``Callback`` option,
+        ``sporco/admm/admm.py:148``, adapted to the jitted loop: the
+        callback fires every ``chunk`` device iterations).  Returns the
+        minimiser; the callback may return True to stop early."""
+        import dataclasses
+        opts = self.opts
+        nch = ((opts.max_iter + chunk - 1) // chunk
+               if max_chunks is None else max_chunks)
+        self.opts = dataclasses.replace(opts, max_iter=chunk)
+        try:
+            for _ in range(nch):
+                self.solve()
+                if callback(self):
+                    break
+        finally:
+            self.opts = opts
+        return self.getmin()
+
+    def display(self, file=None):
+        """Print the per-iteration statistics table (capability of the
+        reference's Verbose status display, ``sporco/common.py:230``)."""
+        _display_stats(self.getitstat(), file=file)
+
+
+def _save_pytree(path, tree):
+    import numpy as _np
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    _np.savez(path, __n__=len(leaves),
+              **{f"leaf{i}": _np.asarray(v)
+                 for i, v in enumerate(leaves)})
+
+
+def _load_pytree(path, like):
+    import numpy as _np
+    npz = _np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    new = [jnp.asarray(npz[f"leaf{i}"]) for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
+def _display_stats(its, file=None):
+    names = [n for n in its._names]
+    widths = [max(9, len(n) + 1) for n in names]
+    hdr = "".join(n.rjust(w) for n, w in zip(names, widths))
+    print(hdr, file=file)
+    print("-" * len(hdr), file=file)
+    import numpy as _np
+    n = len(its)
+    for i in range(n):
+        row = []
+        for name, w in zip(names, widths):
+            v = getattr(its, name)[i]
+            if name == "Iter":
+                row.append(str(int(v)).rjust(w))
+            else:
+                row.append(f"{v:.2e}".rjust(w))
+        print("".join(row), file=file)
+
 
 class PGMModel:
     """Base for PGM-driven model classes."""
@@ -99,6 +170,15 @@ class PGMModel:
 
     def load_state(self, d):
         self.state = type(self.state)(**d)
+
+    def save_state(self, path):
+        _save_pytree(path, self.state)
+
+    def load_state_file(self, path):
+        self.state = _load_pytree(path, self.state)
+
+    def display(self, file=None):
+        _display_stats(self.getitstat(), file=file)
 
 
 def default_rho_xi(lmbda):

@@ -170,3 +170,45 @@ class TestBPDN:
         its = b.getitstat()
         assert np.all(np.isnan(its.ObjFun))      # objective skipped
         assert np.all(np.isfinite(its.PrimalRsdl))
+
+
+class TestCheckpointHelpers:
+
+    def test_save_load_file(self, tmp_path):
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((32, 64))
+        S = rng.standard_normal((32, 1))
+        opt = bpdn.BPDN.options(max_iter=15, rel_stop_tol=0.0)
+        b1 = bpdn.BPDN(D, S, lmbda=0.1, opt=opt, dtype=jnp.float64)
+        b1.solve()
+        p = str(tmp_path / "ckpt.npz")
+        b1.save_state(p)
+        b2 = bpdn.BPDN(D, S, lmbda=0.1, opt=opt, dtype=jnp.float64)
+        b2.load_state_file(p)
+        b2.solve()
+        b1.solve()
+        assert np.allclose(np.asarray(b1.state.Y), np.asarray(b2.state.Y))
+
+    def test_solve_chunked_callback(self):
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((32, 64))
+        S = rng.standard_normal((32, 1))
+        opt = bpdn.BPDN.options(max_iter=50, rel_stop_tol=0.0)
+        b = bpdn.BPDN(D, S, lmbda=0.1, opt=opt, dtype=jnp.float64)
+        seen = []
+        b.solve_chunked(lambda m: seen.append(int(m.state.k)) or
+                        len(seen) >= 3, chunk=5)
+        assert seen == [5, 10, 15]
+
+    def test_display(self, capsys):
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((16, 32))
+        S = rng.standard_normal((16, 1))
+        b = bpdn.BPDN(D, S, lmbda=0.1,
+                      opt=bpdn.BPDN.options(max_iter=3),
+                      dtype=jnp.float64)
+        b.solve()
+        b.display()
+        out = capsys.readouterr().out
+        assert "ObjFun" in out and "Rho" in out
+        assert len(out.strip().splitlines()) == 5   # header + sep + 3
