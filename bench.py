@@ -115,7 +115,100 @@ def with_metaclass(meta, *bases):
 ''')
 
 
+def _bench_bpdn():
+    """BPDN, 512-atom random dictionary (BASELINE config 1)."""
+    import jax.numpy as jnp
+    from sporco_tpu.models import bpdn
+    rng = np.random.default_rng(0)
+    N, M = 512, 512
+    D = rng.standard_normal((N, M)).astype(np.float32)
+    x0 = np.zeros((M, 1), np.float32)
+    x0[rng.choice(M, 32, replace=False)] = rng.standard_normal((32, 1))
+    S = D @ x0
+    opt = bpdn.BPDN.options(max_iter=500, rel_stop_tol=1e-3)
+    b = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
+    b.solve()
+    b2 = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
+    t0 = time.time(); b2.solve(); t = time.time() - t0
+    n = len(b2.getitstat())
+    return {"metric": "BPDN 512x512 iters/s", "value": round(n / t, 2),
+            "unit": "iters/s", "iters": n, "time_s": round(t, 4)}
+
+
+def _bench_tvl2():
+    """TV-L2 denoising, 256x256 (BASELINE config 2)."""
+    from sporco_tpu.models import tv
+    rng = np.random.default_rng(0)
+    N = 256
+    img = np.zeros((N, N), np.float32)
+    img[N // 4:3 * N // 4, N // 4:3 * N // 4] = 1.0
+    S = img + 0.1 * rng.standard_normal((N, N)).astype(np.float32)
+    opt = tv.TVL2Denoise.options(max_iter=500, rel_stop_tol=1e-3)
+    b = tv.TVL2Denoise(S, 0.05, opt=opt)
+    b.solve()
+    b2 = tv.TVL2Denoise(S, 0.05, opt=opt)
+    t0 = time.time(); b2.solve(); t = time.time() - t0
+    n = len(b2.getitstat())
+    return {"metric": "TVL2Denoise 256x256 iters/s",
+            "value": round(n / t, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4)}
+
+
+def _bench_rpca():
+    """Robust PCA, synthetic low-rank + sparse (BASELINE config 3)."""
+    from sporco_tpu.models import rpca
+    rng = np.random.default_rng(0)
+    N, r = 512, 8
+    L = (rng.standard_normal((N, r)) @ rng.standard_normal((r, N)))
+    Ssp = (rng.random((N, N)) > 0.9) * rng.standard_normal((N, N)) * 5
+    S = (L + Ssp).astype(np.float32)
+    opt = rpca.RobustPCA.options(max_iter=200, rel_stop_tol=1e-3)
+    b = rpca.RobustPCA(S, opt=opt)
+    b.solve()
+    b2 = rpca.RobustPCA(S, opt=opt)
+    t0 = time.time(); b2.solve(); t = time.time() - t0
+    n = len(b2.getitstat())
+    return {"metric": "RobustPCA 512x512 iters/s",
+            "value": round(n / t, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4)}
+
+
+def _bench_cdlcns():
+    """Consensus dictionary learning, 40-image batch (BASELINE cfg 5)."""
+    from sporco_tpu.parallel import consensus
+    import jax
+    rng = np.random.default_rng(0)
+    N, Nd, M, K = 128, 8, 32, 40
+    S = rng.standard_normal((N, N, K)).astype(np.float32)
+    D0 = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    d = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
+                                              max_iter=50)
+    d.solve()
+    d2 = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
+                                               max_iter=50)
+    t0 = time.time(); d2.solve(); t = time.time() - t0
+    return {"metric": "Consensus CDL 128x128x40 outer iters/s",
+            "value": round(50 / t, 2), "unit": "iters/s",
+            "time_s": round(t, 4),
+            "n_devices": jax.device_count()}
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] != "cbpdn":
+        cfg = sys.argv[1]
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(os.path.dirname(__file__),
+                                           ".jax_cache"))
+        except Exception:
+            pass
+        out = {"bpdn": _bench_bpdn, "tvl2": _bench_tvl2,
+               "rpca": _bench_rpca, "cdlcns": _bench_cdlcns}[cfg]()
+        out.setdefault("vs_baseline", None)
+        print(json.dumps(out))
+        return
+
     rng = np.random.default_rng(0)
     N, Nd, M = 512, 8, 64
     D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)

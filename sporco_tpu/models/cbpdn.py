@@ -89,6 +89,10 @@ def _csc_setup(cfg, params):
     if cri.Cd > 1:
         DSf = jnp.sum(DSf, axis=1, keepdims=True)
     aux = {"Df": Df, "Sf": Sf, "DSf": DSf}
+    if cri.Cd == 1:
+        # rho-independent per-bin dictionary energy for the SM solve
+        aux["DHD"] = jnp.sum((Df * jnp.conj(Df)).real, axis=2,
+                             keepdims=True)
     if cfg.variant == "gradreg":
         _, GHGf = gradient_filters(cri.dimN, cri.Nv,
                                    dtype=params["D"].dtype)
@@ -105,7 +109,8 @@ def _sm_solve(cfg, aux, d_or_rho, b, diagonal=False):
     if cri.Cd == 1:
         if diagonal:
             return sl.solvedbd_sm(Df, d_or_rho, b, axis=2)
-        return sl.solvedbi_sm(Df, d_or_rho, b, axis=2)
+        return sl.solvedbi_sm(Df, d_or_rho, b, axis=2,
+                              aah=aux.get("DHD"))
     return sl.solvemdbi_ism(Df, d_or_rho, b, axisM=2, axisK=1)
 
 

@@ -42,6 +42,25 @@ class CCMODConfig:
     cg_tol: float = 1e-3
     cg_max_iter: int = 1000
     lin_check: bool = False
+    real: bool = True          # complex-input dispatch
+
+
+def _cfwd(cfg, x, axes, s_=None):
+    if cfg.real:
+        return sf.rfftn(x, s=s_, axes=axes)
+    return sf.fftn(x, s=s_, axes=axes)
+
+
+def _cinv(cfg, xf, s_, axes):
+    if cfg.real:
+        return sf.irfftn(xf, s=s_, axes=axes)
+    return sf.ifftn(xf, s=s_, axes=axes)
+
+
+def _cpn2(cfg, xf, Nv, axes):
+    if cfg.real:
+        return sf.rfl2norm2(xf, Nv, axis=axes)
+    return sf.fl2norm2(xf, axis=axes)
 
 
 def _fftaxes(cri):
@@ -56,12 +75,19 @@ def _pcn(cfg, V):
 def _setup(cfg, params):
     cri = cfg.cri
     axes = _fftaxes(cri)
-    Zf = sf.rfftn(params["Z"], axes=axes)
-    Sf = sf.rfftn(params["S"], axes=axes)
+    Zf = _cfwd(cfg, params["Z"], axes)
+    Sf = _cfwd(cfg, params["S"], axes)
     ZSf = jnp.conj(Zf) * Sf                   # per-signal (K kept)
+    aux = {"Zf": Zf, "Sf": Sf}
     if cfg.method != "cns":
         ZSf = jnp.sum(ZSf, axis=0, keepdims=True)
-    return {"Zf": Zf, "Sf": Sf, "ZSf": ZSf}
+    else:
+        # rho-independent per-bin coefficient energy for the batched
+        # rank-1 solves
+        aux["ZHZ"] = jnp.sum((Zf * jnp.conj(Zf)).real, axis=2,
+                             keepdims=True)
+    aux["ZSf"] = ZSf
+    return aux
 
 
 # --- single-variable methods (ism / cg) ------------------------------------
@@ -71,14 +97,14 @@ def _xstep_single(cfg, aux, params, state):
     axes = _fftaxes(cri)
     rho = state.rho
     YU = state.Y - state.U
-    b = aux["ZSf"] + rho * sf.rfftn(YU, axes=axes)
+    b = aux["ZSf"] + rho * _cfwd(cfg, YU, axes)
     if cfg.method == "ism":
         Xf = sl.solvemdbi_ism(aux["Zf"], rho, b, axisM=2, axisK=0)
     else:
         Xf, _ = sl.solvemdbi_cg(aux["Zf"], rho, b, axisM=2, axisK=0,
                                 tol=cfg.cg_tol,
                                 max_iter=cfg.cg_max_iter)
-    X = sf.irfftn(Xf, s=cri.Nv, axes=axes)
+    X = _cinv(cfg, Xf, cri.Nv, axes)
     xaux = {"Xf": Xf}
     if cfg.lin_check:
         Zop = jnp.sum(aux["Zf"] * Xf, axis=2, keepdims=True)
@@ -96,7 +122,7 @@ def _obfn_single(cfg, aux, params, state, xaux):
     # fEvalX default: dfd from Xf (sporco/admm/ccmod.py:138)
     Ef = jnp.sum(aux["Zf"] * xaux["Xf"], axis=2, keepdims=True) \
         - aux["Sf"]
-    dfd = 0.5 * sf.rfl2norm2(Ef, cri.Nv, axis=_fftaxes(cri))
+    dfd = 0.5 * _cpn2(cfg, Ef, cri.Nv, _fftaxes(cri))
     cns = jnp.linalg.norm((_pcn(cfg, state.Y) - state.Y).ravel())
     xr = xaux.get("xrrs", jnp.nan) if cfg.lin_check else jnp.nan
     return (dfd, cns, xr)
@@ -129,15 +155,15 @@ def _xstep_cns(cfg, aux, params, state):
     axes = _fftaxes(cri)
     rho = state.rho
     YU = state.Y - state.U                      # (K, Cd, M, Nv)
-    b = aux["ZSf"] + rho * sf.rfftn(YU, axes=axes)
+    b = aux["ZSf"] + rho * _cfwd(cfg, YU, axes)
     # batched per-signal rank-1 solve over the K axis
-    Xf = sl.solvedbi_sm(aux["Zf"], rho, b, axis=2)
-    X = sf.irfftn(Xf, s=cri.Nv, axes=axes)
+    Xf = sl.solvedbi_sm(aux["Zf"], rho, b, axis=2, aah=aux["ZHZ"])
+    X = _cinv(cfg, Xf, cri.Nv, axes)
     xaux = {"Xf": Xf}
     if cfg.lin_check:
         ZSfs = jnp.sum(aux["ZSf"], axis=0, keepdims=True)
         YUs = jnp.sum(YU, axis=0, keepdims=True)
-        bs = ZSfs + rho * sf.rfftn(YUs, axes=axes)
+        bs = ZSfs + rho * _cfwd(cfg, YUs, axes)
         Zop = jnp.sum(aux["Zf"] * Xf, axis=2, keepdims=True)
         ax = jnp.sum(jnp.conj(aux["Zf"]) * Zop + rho * Xf, axis=0,
                      keepdims=True)
@@ -173,7 +199,7 @@ def _obfn_cns(cfg, aux, params, state, xaux):
     cri = cfg.cri
     Ef = jnp.sum(aux["Zf"] * xaux["Xf"], axis=2, keepdims=True) \
         - aux["Sf"]
-    dfd = 0.5 * sf.rfl2norm2(Ef, cri.Nv, axis=_fftaxes(cri))
+    dfd = 0.5 * _cpn2(cfg, Ef, cri.Nv, _fftaxes(cri))
     cns = jnp.linalg.norm((_pcn(cfg, state.Y) - state.Y).ravel())
     xr = xaux.get("xrrs", jnp.nan) if cfg.lin_check else jnp.nan
     return (dfd, cns, xr)
@@ -230,6 +256,12 @@ class ConvCnstrMODBase(ADMMModel):
         super().__init__()
         if opt is None:
             opt = self.options()
+        real = not (jnp.iscomplexobj(jnp.asarray(S))
+                    or (Z is not None
+                        and jnp.iscomplexobj(jnp.asarray(Z))))
+        if not real:
+            from sporco_tpu.ops.fft import complex_dtype
+            dtype = complex_dtype(dtype)
         S = jnp.asarray(S, dtype)
         cri = cr.cdu_index(dsz, S.shape, dimK=dimK, dimN=dimN)
         self.cri = cri
@@ -254,7 +286,7 @@ class ConvCnstrMODBase(ADMMModel):
         self.cfg = CCMODConfig(cri=cri, method=self.METHOD,
                                zero_mean=zero_mean, cg_tol=cg_tol,
                                cg_max_iter=cg_max_iter,
-                               lin_check=lin_check)
+                               lin_check=lin_check, real=real)
         self.opts = opt.replace(dtype=dtype)
         self.params = {"Z": Zi, "S": Si, "D0": D0}
         self.problem = _CCMOD_CNS if self.METHOD == "cns" \

@@ -38,7 +38,9 @@ def _setup(cfg, params):
     axes = _fftaxes(cri)
     Zf = sf.rfftn(params["Z"], axes=axes)
     Sf = sf.rfftn(params["S"], axes=axes)
-    return {"Zf": Zf, "Sf": Sf}
+    return {"Zf": Zf, "Sf": Sf,
+            "ZHZ": jnp.sum((Zf * jnp.conj(Zf)).real, axis=2,
+                           keepdims=True)}
 
 
 # --- IterSM / CG: two-block (Z-op; I), blocks (signal-shaped, dict) --------
@@ -143,7 +145,7 @@ def _xstep_cnsm(cfg, aux, params, state):
     # runs with unit penalty
     ZSf = jnp.conj(Zf) * (aux["Sf"] + sf.rfftn(Y1 - U1, axes=axes))
     b = ZSf + sf.rfftn(DY - DU, axes=axes)
-    DXf = sl.solvedbi_sm(Zf, 1.0, b, axis=2)
+    DXf = sl.solvedbi_sm(Zf, 1.0, b, axis=2, aah=aux["ZHZ"])
     DX = sf.irfftn(DXf, s=cri.Nv, axes=axes)
     ZDf = jnp.sum(Zf * DXf, axis=2, keepdims=True)
     ZD = sf.irfftn(ZDf, s=cri.Nv, axes=axes)

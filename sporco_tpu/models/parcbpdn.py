@@ -64,6 +64,7 @@ def _par_solve(cfg, params, state):
     # grouped dictionary spectrum: (L, 1, 1, Mg, f...)
     Dg = params["D"]
     Dfg = sf.rfftn(Dg, s=Nv, axes=axes)
+    DHDg = jnp.sum((Dfg * jnp.conj(Dfg)).real, axis=3, keepdims=True)
 
     def cond(st):
         Y0, U0, Y1, U1, X, DX, k, r, s = st
@@ -78,7 +79,7 @@ def _par_solve(cfg, params, state):
         YU0f = sf.rfftn(Y0 - U0, axes=axes)
         YU1f = sf.rfftn(Y1 - U1 / alpha, axes=axes)
         b = jnp.conj(Dfg) * YU0f + alpha ** 2 * YU1f
-        Xf = sl.solvedbi_sm(Dfg, alpha ** 2, b, axis=3)
+        Xf = sl.solvedbi_sm(Dfg, alpha ** 2, b, axis=3, aah=DHDg)
         Xnew = sf.irfftn(Xf, s=Nv, axes=axes)          # (L,K,1,Mg,Nv)
         DXf = jnp.sum(Dfg * Xf, axis=3, keepdims=True)
         DXnew = sf.irfftn(DXf, s=Nv, axes=axes)        # (L,K,C,1,Nv)

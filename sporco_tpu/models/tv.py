@@ -44,6 +44,12 @@ class TVConfig:
     deconv: bool = False
     gs_max_iter: int = 2
     gs_tol: float = 0.0
+    real: bool = True             # complex-input dispatch
+
+
+def _sq(v):
+    """|v|^2, complex-aware."""
+    return jnp.abs(v) ** 2 if jnp.iscomplexobj(v) else v ** 2
 
 
 def _tv_cnst_a_grad(cfg, X):
@@ -132,10 +138,10 @@ def _tv_cnst_at(cfg, aux, params, V):
 
 
 def _tvl2den_obfn(cfg, aux, params, state, xaux):
-    dfd = 0.5 * jnp.sum((params["Wdf"] * (state.X - params["S"])) ** 2)
+    dfd = 0.5 * jnp.sum(_sq(params["Wdf"] * (state.X - params["S"])))
     gv = state.Y
     reg = jnp.sum(params["Wtv"]
-                  * jnp.sqrt(jnp.sum(gv ** 2, axis=cfg.saxes)))
+                  * jnp.sqrt(jnp.sum(_sq(gv), axis=cfg.saxes)))
     return (dfd + params["lmbda"] * reg, dfd, reg,
             xaux["gsit"], xaux["gsrrs"])
 
@@ -198,7 +204,7 @@ def _tvl1den_obfn(cfg, aux, params, state, xaux):
     gv = state.Y
     dfd = jnp.sum(jnp.abs(params["Wdf"] * gv[..., -1]))
     reg = jnp.sum(params["Wtv"]
-                  * jnp.sqrt(jnp.sum(gv[..., :-1] ** 2, axis=cfg.saxes)))
+                  * jnp.sqrt(jnp.sum(_sq(gv[..., :-1]), axis=cfg.saxes)))
     return (dfd + params["lmbda"] * reg, dfd, reg,
             xaux["gsit"], xaux["gsrrs"])
 
@@ -235,8 +241,9 @@ def _tv_freq_filters(cfg, params):
     S = params["S"]
     axshp = tuple(S.shape[ax] for ax in cfg.axes)
     A = params["A"]
-    Af = sf.rfftn(A, s=axshp, axes=cfg.axes)
-    Sf = sf.rfftn(S, s=axshp, axes=cfg.axes)
+    fwd = sf.rfftn if cfg.real else sf.fftn
+    Af = fwd(A, s=axshp, axes=cfg.axes)
+    Sf = fwd(S, s=axshp, axes=cfg.axes)
     # gradient filters per TV axis, stacked trailing
     Gfs = []
     for j, ax in enumerate(cfg.axes):
@@ -244,8 +251,8 @@ def _tv_freq_filters(cfg, params):
         idx = tuple(slice(None) if a == ax else 0
                     for a in range(cfg.sndim))
         g[idx] = np.array([1.0, -1.0])
-        Gfs.append(sf.rfftn(jnp.asarray(g, S.dtype), s=axshp,
-                            axes=cfg.axes))
+        Gfs.append(fwd(jnp.asarray(g, sf.real_dtype(S.dtype)), s=axshp,
+                       axes=cfg.axes))
     Gf = jnp.stack(Gfs, axis=-1)
     GHGf = jnp.sum((jnp.conj(Gf) * Gf).real, axis=-1)
     return {"Af": Af, "Sf": Sf, "AHAf": (jnp.conj(Af) * Af).real,
@@ -261,35 +268,49 @@ def _tvl2dcn_setup(cfg, params):
     return _tv_freq_filters(cfg, params)
 
 
+def _dcn_fwd(cfg, x, axes):
+    return sf.rfftn(x, axes=axes) if cfg.real else sf.fftn(x, axes=axes)
+
+
+def _dcn_inv(cfg, xf, s_, axes):
+    if cfg.real:
+        return sf.irfftn(xf, s=s_, axes=axes)
+    return sf.ifftn(xf, s=s_, axes=axes)
+
+
 def _tvl2dcn_xstep(cfg, aux, params, state):
     rho = state.rho
-    YUf = sf.rfftn(state.Y - state.U, axes=cfg.axes)
+    YUf = _dcn_fwd(cfg, state.Y - state.U, cfg.axes)
     b = aux["AHSf"] + rho * jnp.sum(jnp.conj(aux["Gf"]) * YUf, axis=-1)
     Xf = b / (aux["AHAf"] + rho * aux["GHGf"])
-    X = sf.irfftn(Xf, s=_axshp(cfg, params), axes=cfg.axes)
+    X = _dcn_inv(cfg, Xf, _axshp(cfg, params), cfg.axes)
     xrrs = sl.rrs((aux["AHAf"] + rho * aux["GHGf"]) * Xf, b)
     return X, {"Xf": Xf, "xrrs": xrrs}
 
 
 def _tvdcn_cnst_a(cfg, aux, params, X):
     """Circular gradients via the DFT filters."""
-    Xf = sf.rfftn(X, axes=cfg.axes)
-    return sf.irfftn(aux["Gf"] * Xf[..., None],
-                     s=_axshp(cfg, params), axes=cfg.axes)
+    Xf = _dcn_fwd(cfg, X, cfg.axes)
+    return _dcn_inv(cfg, aux["Gf"] * Xf[..., None],
+                    _axshp(cfg, params), cfg.axes)
 
 
 def _tvdcn_cnst_at(cfg, aux, params, V):
-    Vf = sf.rfftn(V, axes=cfg.axes)
-    return sf.irfftn(jnp.sum(jnp.conj(aux["Gf"]) * Vf, axis=-1),
-                     s=_axshp(cfg, params), axes=cfg.axes)
+    Vf = _dcn_fwd(cfg, V, cfg.axes)
+    return _dcn_inv(cfg, jnp.sum(jnp.conj(aux["Gf"]) * Vf, axis=-1),
+                    _axshp(cfg, params), cfg.axes)
 
 
 def _tvl2dcn_obfn(cfg, aux, params, state, xaux):
-    dfd = 0.5 * sf.rfl2norm2(aux["Af"] * xaux["Xf"] - aux["Sf"],
-                             _axshp(cfg, params), axis=cfg.axes)
+    if cfg.real:
+        dfd = 0.5 * sf.rfl2norm2(aux["Af"] * xaux["Xf"] - aux["Sf"],
+                                 _axshp(cfg, params), axis=cfg.axes)
+    else:
+        dfd = 0.5 * sf.fl2norm2(aux["Af"] * xaux["Xf"] - aux["Sf"],
+                                axis=cfg.axes)
     gv = state.Y
     reg = jnp.sum(params["Wtv"]
-                  * jnp.sqrt(jnp.sum(gv ** 2, axis=cfg.saxes)))
+                  * jnp.sqrt(jnp.sum(_sq(gv), axis=cfg.saxes)))
     return (dfd + params["lmbda"] * reg, dfd, reg, xaux["xrrs"])
 
 
@@ -303,25 +324,25 @@ _TVL2DCN = ADMMProblem(
 def _tvl1dcn_cnst_a(cfg, aux, params, X):
     """(G; H) x with the convolution block trailing
     (``sporco/admm/tvl1.py:700``)."""
-    Xf = sf.rfftn(X, axes=cfg.axes)
+    Xf = _dcn_fwd(cfg, X, cfg.axes)
     GAf = jnp.concatenate([aux["Gf"], aux["Af"][..., None]], axis=-1)
-    return sf.irfftn(GAf * Xf[..., None], s=_axshp(cfg, params),
-                     axes=cfg.axes)
+    return _dcn_inv(cfg, GAf * Xf[..., None], _axshp(cfg, params),
+                    cfg.axes)
 
 
 def _tvl1dcn_cnst_at(cfg, aux, params, V):
-    Vf = sf.rfftn(V, axes=cfg.axes)
+    Vf = _dcn_fwd(cfg, V, cfg.axes)
     GAf = jnp.concatenate([aux["Gf"], aux["Af"][..., None]], axis=-1)
-    return sf.irfftn(jnp.sum(jnp.conj(GAf) * Vf, axis=-1),
-                     s=_axshp(cfg, params), axes=cfg.axes)
+    return _dcn_inv(cfg, jnp.sum(jnp.conj(GAf) * Vf, axis=-1),
+                    _axshp(cfg, params), cfg.axes)
 
 
 def _tvl1dcn_xstep(cfg, aux, params, state):
-    YUf = sf.rfftn(state.Y - state.U, axes=cfg.axes)
+    YUf = _dcn_fwd(cfg, state.Y - state.U, cfg.axes)
     GAf = jnp.concatenate([aux["Gf"], aux["Af"][..., None]], axis=-1)
     b = aux["AHSf"] + jnp.sum(jnp.conj(GAf) * YUf, axis=-1)
     Xf = b / (aux["AHAf"] + aux["GHGf"])
-    X = sf.irfftn(Xf, s=_axshp(cfg, params), axes=cfg.axes)
+    X = _dcn_inv(cfg, Xf, _axshp(cfg, params), cfg.axes)
     xrrs = sl.rrs((aux["AHAf"] + aux["GHGf"]) * Xf, b)
     return X, {"Xf": Xf, "xrrs": xrrs}
 
@@ -334,7 +355,7 @@ def _tvl1dcn_obfn(cfg, aux, params, state, xaux):
     gv = state.Y
     dfd = jnp.sum(jnp.abs(params["Wdf"] * gv[..., -1]))
     reg = jnp.sum(params["Wtv"]
-                  * jnp.sqrt(jnp.sum(gv[..., :-1] ** 2, axis=cfg.saxes)))
+                  * jnp.sqrt(jnp.sum(_sq(gv[..., :-1]), axis=cfg.saxes)))
     return (dfd + params["lmbda"] * reg, dfd, reg, xaux["xrrs"])
 
 
@@ -389,18 +410,22 @@ class TVL2Denoise(_TVBase):
         super().__init__()
         if opt is None:
             opt = self.options()
+        real = not jnp.iscomplexobj(jnp.asarray(S))
+        if not real:
+            dtype = sf.complex_dtype(dtype)
         S = jnp.asarray(S, dtype)
         saxes = (-1,) if caxis is None else (caxis, -1)
         self.cfg = TVConfig(axes=tuple(axes), saxes=saxes, sndim=S.ndim,
-                            l1_fidelity=self.L1_FID,
+                            l1_fidelity=self.L1_FID, real=real,
                             gs_max_iter=gs_max_iter, gs_tol=gs_tol)
         self.opts = opt.replace(dtype=dtype)
-        Wtv_ = jnp.asarray(Wtv, dtype)
+        rdt = sf.real_dtype(dtype)
+        Wtv_ = jnp.asarray(Wtv, rdt)
         Wtvna = Wtv_[..., None] if Wtv_.ndim == S.ndim else Wtv_
         self.params = {
             "S": S,
-            "lmbda": jnp.asarray(lmbda, dtype),
-            "Wdf": jnp.asarray(Wdf, dtype),
+            "lmbda": jnp.asarray(lmbda, rdt),
+            "Wdf": jnp.asarray(Wdf, rdt),
             "Wtv": Wtv_, "Wtvna": Wtvna,
         }
         self.lmbda = lmbda
@@ -461,20 +486,25 @@ class TVL2Deconv(_TVBase):
         ADMMModel.__init__(self)
         if opt is None:
             opt = self.options()
+        real = not (jnp.iscomplexobj(jnp.asarray(S))
+                    or jnp.iscomplexobj(jnp.asarray(A)))
+        if not real:
+            dtype = sf.complex_dtype(dtype)
         S = jnp.asarray(S, dtype)
         A = jnp.asarray(A, dtype)
         if A.ndim < S.ndim:
             A = A.reshape(A.shape + (1,) * (S.ndim - A.ndim))
         saxes = (-1,) if caxis is None else (caxis, -1)
         self.cfg = TVConfig(axes=tuple(axes), saxes=saxes, sndim=S.ndim,
-                            deconv=True)
+                            deconv=True, real=real)
         self.opts = opt.replace(dtype=dtype)
-        Wtv_ = jnp.asarray(Wtv, dtype)
+        rdt = sf.real_dtype(dtype)
+        Wtv_ = jnp.asarray(Wtv, rdt)
         Wtvna = Wtv_[..., None] if Wtv_.ndim == S.ndim else Wtv_
         self.params = {
             "S": S, "A": A,
-            "lmbda": jnp.asarray(lmbda, dtype),
-            "Wdf": jnp.asarray(Wdf, dtype),
+            "lmbda": jnp.asarray(lmbda, rdt),
+            "Wdf": jnp.asarray(Wdf, rdt),
             "Wtv": Wtv_, "Wtvna": Wtvna,
         }
         self.lmbda = lmbda

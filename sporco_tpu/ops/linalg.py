@@ -64,18 +64,28 @@ def solvedbi_sm_c(ah, a, rho, axis=-3):
     return ah / (inner(ah, a, axis=axis) + rho)
 
 
-def solvedbi_sm(ah, rho, b, c=None, axis=-3):
+def solvedbi_sm(ah, rho, b, c=None, axis=-3, aah=None):
     """Solve the diagonal-block systems ``(rho I + a a^H) x = b`` with
     ``a = conj(ah)``, independently per index of the non-``axis`` axes,
     via rank-1 Sherman-Morrison (``sporco/linalg.py:232``).
 
     This is the per-DFT-bin x-step solve of every single-channel CSC
     solver; ``axis`` is the filter (M) axis.
+
+    Unlike the reference, the no-cache path never materialises the
+    full-size cache array ``c``: the small reduced inner product is
+    divided by the denominator instead (one fused pass over the large
+    operands).  ``aah`` optionally supplies the precomputed
+    rho-independent ``inner(ah, conj(ah))`` (i.e. ``sum |ah|^2``),
+    saving a reduction over the dictionary spectrum per call.
     """
     a = jnp.conj(ah)
-    if c is None:
-        c = solvedbi_sm_c(ah, a, rho, axis)
-    return (b - (a * inner(c, b, axis=axis))) / rho
+    if c is not None:
+        return (b - (a * inner(c, b, axis=axis))) / rho
+    if aah is None:
+        aah = inner(ah, a, axis=axis).real
+    t = inner(ah, b, axis=axis) / (aah + rho)
+    return (b - a * t) / rho
 
 
 def solvedbd_sm_c(ah, a, d, axis=-3):

@@ -130,3 +130,31 @@ class TestCCMOD:
         D = b.getdict()
         assert D.shape == (5, 5, 3, 8)
         assert np.isfinite(b.getitstat().DFid[-1])
+
+
+class TestComplexCCMOD:
+
+    def test_complex_dict_update(self):
+        rng = np.random.default_rng(12345)
+        N, Nd, M, K = 16, 5, 8, 4
+        D0 = rng.standard_normal((Nd, Nd, M)) \
+            + 1j * rng.standard_normal((Nd, Nd, M))
+        D0 /= np.sqrt((np.abs(D0) ** 2).sum(axis=(0, 1), keepdims=True))
+        X = np.zeros((N, N, 1, K, M), complex)
+        flat = X.reshape(-1)
+        idx = rng.choice(flat.size, 60, replace=False)
+        flat[idx] = rng.standard_normal(60) + 1j * rng.standard_normal(60)
+        Df = np.fft.fftn(D0, s=(N, N), axes=(0, 1)).reshape(
+            N, N, 1, 1, M)
+        Xf = np.fft.fftn(X, axes=(0, 1))
+        S = np.fft.ifftn(np.sum(Df * Xf, axis=-1), axes=(0, 1))[:, :, 0]
+        opt = ccmod.ConvCnstrMODBase.options(max_iter=100,
+                                             rel_stop_tol=1e-7)
+        b = ccmod.ConvCnstrMOD(X, S, (5, 5, 8), opt=opt, method="cns",
+                               dtype=jnp.float64)
+        b.solve()
+        its = b.getitstat()
+        assert np.all(np.isfinite(its.DFid))
+        assert its.DFid[-1] < 1e-2
+        D = b.getdict()
+        assert jnp.iscomplexobj(D)

@@ -136,3 +136,39 @@ class TestSpline:
         b = spline.SplineL1(S_SPL, 5.0, opt=opt, dtype=jnp.float64)
         X = np.asarray(b.solve())
         assert np.linalg.norm(X - IMG) < 0.5 * np.linalg.norm(S_SPL - IMG)
+
+
+class TestComplexTV:
+    """Complex-valued input support (CHANGES.rst v0.2.1 capability)."""
+
+    def test_tvl2_denoise_complex(self):
+        rng = np.random.default_rng(0)
+        S = (IMG + 0.05 * rng.standard_normal(IMG.shape)) \
+            + 1j * (np.roll(IMG, 3, 0) + 0.05 * rng.standard_normal(IMG.shape))
+        b = tv.TVL2Denoise(S, 0.05, opt=tv.TVL2Denoise.options(max_iter=50),
+                           dtype=jnp.float64)
+        X = b.solve()
+        assert jnp.iscomplexobj(X)
+        assert np.all(np.isfinite(b.getitstat().ObjFun))
+        # denoises both components
+        assert np.linalg.norm(np.asarray(X).real - IMG) \
+            < np.linalg.norm(np.asarray(S).real - IMG)
+
+    def test_tvl2_deconv_complex(self):
+        rng = np.random.default_rng(0)
+        Sb = np.asarray(S_BLR) + 1j * np.roll(np.asarray(S_BLR), 2, 0)
+        b = tv.TVL2Deconv(KRN, Sb, 0.01,
+                          opt=tv.TVL2Deconv.options(max_iter=50),
+                          dtype=jnp.float64)
+        X = b.solve()
+        assert jnp.iscomplexobj(X)
+        assert np.all(np.isfinite(b.getitstat().ObjFun))
+
+    def test_tvl1_deconv_complex(self):
+        Sb = np.asarray(S_BLR) + 1j * np.roll(np.asarray(S_BLR), 2, 0)
+        b = tv.TVL1Deconv(KRN, Sb, 0.1,
+                          opt=tv.TVL1Deconv.options(max_iter=30),
+                          dtype=jnp.float64)
+        X = b.solve()
+        assert jnp.iscomplexobj(X)
+        assert np.all(np.isfinite(b.getitstat().ObjFun))
