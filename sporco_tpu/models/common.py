@@ -17,7 +17,21 @@ from sporco_tpu.solvers import admm as _admm
 from sporco_tpu.solvers import pgm as _pgm
 from sporco_tpu.utils.timer import Timer
 
-__all__ = ["ADMMModel", "PGMModel"]
+__all__ = ["ADMMModel", "PGMModel", "device_sync"]
+
+
+def device_sync(state):
+    """Force completion of all device work producing ``state``.
+
+    ``jax.block_until_ready`` alone is not a reliable barrier on every
+    PJRT plugin (some relay backends acknowledge enqueue rather than
+    completion), so a one-element host fetch of the last leaf -- which
+    must wait for the producing program -- is used as the barrier.
+    """
+    jax.block_until_ready(state)
+    leaves = jax.tree_util.tree_leaves(state)
+    if leaves:
+        jax.device_get(jnp.ravel(leaves[-1])[:1])
 
 
 class ADMMModel:
@@ -40,7 +54,7 @@ class ADMMModel:
         self.timer.start("solve")
         self.state = _admm.admm_solve(self.problem, self.cfg, self.params,
                                       self.opts, self.state)
-        jax.block_until_ready(self.state)
+        device_sync(self.state)
         self.timer.stop("solve")
         return self.getmin()
 
@@ -151,7 +165,7 @@ class PGMModel:
         self.timer.start("solve")
         self.state = _pgm.pgm_solve(self.problem, self.cfg, self.params,
                                     self.opts, self.state)
-        jax.block_until_ready(self.state)
+        device_sync(self.state)
         self.timer.stop("solve")
         return self.getmin()
 

@@ -32,6 +32,7 @@ from sporco_tpu.models.common import ADMMModel
 from sporco_tpu.models.cbpdn import _max_abs_dhs
 from sporco_tpu.solvers.admm import ADMMOpts, AutoRhoOpts
 from sporco_tpu.utils.timer import Timer
+from sporco_tpu.models.common import device_sync
 
 __all__ = ["ParConvBPDN"]
 
@@ -205,7 +206,7 @@ class ParConvBPDN(ADMMModel):
     def solve(self):
         self.timer.start("solve")
         self.state = _par_solve(self.cfg, self.params, self.state)
-        jax.block_until_ready(self.state)
+        device_sync(self.state)
         self.timer.stop("solve")
         return self.getmin()
 

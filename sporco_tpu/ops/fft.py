@@ -5,25 +5,64 @@ real/complex transforms, DFT-domain convolution, DCT-II, and the
 Parseval-corrected norms needed to evaluate objectives in the frequency
 domain (``sporco/fft.py:421-484``).
 
-TPU-first notes: there is no planning layer or byte-alignment machinery --
-``jnp.fft`` lowers to the XLA TPU FFT, which wants the transformed axes
-innermost.  All solvers in this package therefore keep spatial axes *last*
-(layout ``(K, C, M, N0, N1, ...)``), the opposite of the reference's
+TPU-first notes: there is no planning layer or byte-alignment machinery.
+On TPU backends, axis transforms up to length 2048 dispatch to dense DFT
+matmuls on the MXU (:mod:`sporco_tpu.ops.mxufft`) -- ~4x faster than the
+XLA TPU FFT at the framework's hot sizes; elsewhere ``jnp.fft`` is used.
+All solvers in this package keep spatial axes *last* (layout
+``(K, C, M, N0, N1, ...)``), the opposite of the reference's
 ``(N0, N1, ..., C, K, M)`` layout (``sporco/cnvrep.py:86-103``).
 """
 
 import math
+import os
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.fft as jsf
+
+from sporco_tpu.ops import mxufft
 
 __all__ = [
     "complex_dtype", "real_dtype", "is_complex_dtype",
     "fftn", "ifftn", "rfftn", "irfftn", "dctii", "idctii",
     "fftconv", "fl2norm2", "rfl2norm2", "empty_aligned_func",
-    "fftn_func", "ifftn_func", "fl2norm2_func",
+    "fftn_func", "ifftn_func", "fl2norm2_func", "use_mxu_fft",
 ]
+
+# MXU (matmul) DFT dispatch: on TPU backends the XLA FFT is slow
+# (it bypasses the systolic array), so axis transforms up to this
+# length are computed as dense DFT matmuls instead (see
+# sporco_tpu/ops/mxufft.py).  Disable with SPORCO_TPU_MXU_FFT=0.
+_MXU_MAX_LEN = 2048
+_MXU_MODE = os.environ.get("SPORCO_TPU_MXU_FFT", "auto")
+
+
+def use_mxu_fft(mode):
+    """Control MXU-DFT dispatch: ``'auto'`` (TPU only), ``'always'``,
+    or ``'never'``."""
+    global _MXU_MODE
+    if mode in (True, False):
+        mode = "always" if mode else "never"
+    if mode not in ("auto", "always", "never", "0", "1"):
+        raise ValueError(f"invalid mode {mode!r}")
+    _MXU_MODE = {"0": "never", "1": "always"}.get(mode, mode)
+
+
+def _mxu_ok(a, s, axes):
+    mode = {"0": "never", "1": "always"}.get(_MXU_MODE, _MXU_MODE)
+    if mode == "never":
+        return False
+    if mode == "auto" and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if s is not None:
+        sizes = tuple(s)
+    elif axes is not None:
+        sizes = tuple(a.shape[ax] for ax in axes)
+    else:
+        sizes = a.shape
+    return all(1 < n <= _MXU_MAX_LEN for n in sizes)
 
 
 def complex_dtype(dtype):
@@ -58,23 +97,31 @@ def _default_axes(a, s=None, axes=None):
 
 
 def fftn(a, s=None, axes=None):
-    """n-dimensional complex DFT (XLA TPU FFT)."""
+    """n-dimensional complex DFT (MXU matmul on TPU, XLA FFT else)."""
+    if _mxu_ok(a, s, axes):
+        return mxufft.fftn(a, s=s, axes=axes)
     return jnp.fft.fftn(a, s=s, axes=axes)
 
 
 def ifftn(a, s=None, axes=None):
     """n-dimensional inverse complex DFT."""
+    if _mxu_ok(a, s, axes):
+        return mxufft.ifftn(a, s=s, axes=axes)
     return jnp.fft.ifftn(a, s=s, axes=axes)
 
 
 def rfftn(a, s=None, axes=None):
     """n-dimensional real DFT (half-spectrum on the final axis)."""
+    if _mxu_ok(a, s, axes):
+        return mxufft.rfftn(a, s=s, axes=axes)
     return jnp.fft.rfftn(a, s=s, axes=axes)
 
 
 def irfftn(a, s, axes=None):
     """n-dimensional inverse real DFT.  ``s`` (the real-domain shape of
     the transformed axes) is required to disambiguate odd/even lengths."""
+    if _mxu_ok(a, s, axes):
+        return mxufft.irfftn(a, s=s, axes=axes)
     return jnp.fft.irfftn(a, s=s, axes=axes)
 
 

@@ -44,6 +44,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.parallel.mesh import make_mesh, data_sharding, replicated
 from sporco_tpu.utils.timer import Timer
+from sporco_tpu.models.common import device_sync
 
 __all__ = ["ConvBPDNDictLearn_Consensus",
            "ConvBPDNMaskDcplDictLearn_Consensus"]
@@ -261,7 +262,7 @@ class ConvBPDNDictLearn_Consensus:
     def solve(self):
         self.timer.start("solve")
         self.step(self.max_iter)
-        jax.block_until_ready(self.state)
+        device_sync(self.state)
         self.timer.stop("solve")
         return self.getdict()
 
