@@ -37,6 +37,26 @@ import jax.numpy as jnp
 __all__ = ["fftn", "ifftn", "rfftn", "irfftn", "set_precision",
            "get_precision"]
 
+
+def _pallas_2d_ok(ndim, s, axes, dtype):
+    """Dispatch the fused Pallas kernel for 2D last-axes f32 transforms
+    in ``highest`` precision (it beats the einsum path there: the
+    Cooley-Tukey MAC cut is free of the bf16-split VPU overhead that
+    makes it lose in ``high`` mode; measured 3.09 vs 3.59 ms for the
+    512x512x64 round trip on a v5e chip)."""
+    from sporco_tpu.ops import pallas_fft
+    if _PRECISION != "highest":
+        return False
+    if not (pallas_fft.interpret
+            or jax.default_backend() in ("tpu", "axon")):
+        return False
+    if len(axes) != 2 or tuple(axes) != (ndim - 2, ndim - 1):
+        return False
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.complex64)):
+        return False
+    return pallas_fft.supported(s[0], s[1], jnp.float32)
+
 _PRECISION = "highest"
 
 
@@ -208,6 +228,11 @@ def rfftn(a, s=None, axes=None):
     s, axes = _norm_axes(a, s, axes)
     for n, ax in zip(s, axes):
         a = _resize_axis(a, n, ax)
+    if _pallas_2d_ok(a.ndim, s, axes, a.dtype) and not jnp.iscomplexobj(a):
+        from sporco_tpu.ops import pallas_fft
+        yr, yi = pallas_fft.rfft2_planar(a.astype(jnp.float32),
+                                         precision=_PRECISION)
+        return yr + 1j * yi
     # r2c on the final transformed axis, then c2c on the rest
     xr, xi = _r2c_axis(a, s[-1], axes[-1])
     for n, ax in zip(s[:-1], axes[:-1]):
@@ -221,6 +246,14 @@ def irfftn(a, s, axes=None):
     else:
         axes = tuple(ax % a.ndim for ax in axes)
     s = tuple(s)
+    if (_pallas_2d_ok(a.ndim, s, axes, a.dtype)
+            and a.shape[axes[-1]] == s[-1] // 2 + 1
+            and a.shape[axes[-2]] == s[-2]):
+        from sporco_tpu.ops import pallas_fft
+        return pallas_fft.irfft2_planar(
+            jnp.real(a).astype(jnp.float32),
+            jnp.imag(a).astype(jnp.float32), s[-1],
+            precision=_PRECISION)
     xr, xi = jnp.real(a), jnp.imag(a)
     # half-spectrum length on the final axis must match s[-1]//2+1
     K = s[-1] // 2 + 1
