@@ -375,6 +375,7 @@ def zeromean(v, dsz, dimN=2):
     """Subtract the per-filter mean over each filter's *support* (not the
     zero-padded embedding) (``sporco/cnvrep.py:609``).  ``v`` has spatial
     axes trailing; filter axis at ``-dimN-1``."""
+    v = jnp.asarray(v)
     axisN = tuple(range(v.ndim - dimN, v.ndim))
     out = v
     for m0, m1, c0, c1, sup in _iter_dsz_blocks(dsz, dimN):

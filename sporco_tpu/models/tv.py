@@ -45,6 +45,9 @@ class TVConfig:
     gs_max_iter: int = 2
     gs_tol: float = 0.0
     real: bool = True             # complex-input dispatch
+    g_eval_y: bool = True         # reference's gEvalY: evaluate the
+                                  # g-term of the objective at Y (True)
+                                  # or at A(X)-c (False)
 
 
 def _sq(v):
@@ -139,7 +142,7 @@ def _tv_cnst_at(cfg, aux, params, V):
 
 def _tvl2den_obfn(cfg, aux, params, state, xaux):
     dfd = 0.5 * jnp.sum(_sq(params["Wdf"] * (state.X - params["S"])))
-    gv = state.Y
+    gv = state.Y if cfg.g_eval_y else _tv_cnst_a_grad(cfg, state.X)
     reg = jnp.sum(params["Wtv"]
                   * jnp.sqrt(jnp.sum(_sq(gv), axis=cfg.saxes)))
     return (dfd + params["lmbda"] * reg, dfd, reg,
@@ -201,7 +204,9 @@ def _tvl1den_ystep(cfg, aux, params, state, AXU):
 
 
 def _tvl1den_obfn(cfg, aux, params, state, xaux):
-    gv = state.Y
+    gv = state.Y if cfg.g_eval_y else \
+        (_tvl1_cnst_a(cfg, aux, params, state.X)
+         - _tvl1_cnst_c(cfg, aux, params))
     dfd = jnp.sum(jnp.abs(params["Wdf"] * gv[..., -1]))
     reg = jnp.sum(params["Wtv"]
                   * jnp.sqrt(jnp.sum(_sq(gv[..., :-1]), axis=cfg.saxes)))
@@ -308,7 +313,8 @@ def _tvl2dcn_obfn(cfg, aux, params, state, xaux):
     else:
         dfd = 0.5 * sf.fl2norm2(aux["Af"] * xaux["Xf"] - aux["Sf"],
                                 axis=cfg.axes)
-    gv = state.Y
+    gv = state.Y if cfg.g_eval_y else \
+        _tvdcn_cnst_a(cfg, aux, params, state.X)
     reg = jnp.sum(params["Wtv"]
                   * jnp.sqrt(jnp.sum(_sq(gv), axis=cfg.saxes)))
     return (dfd + params["lmbda"] * reg, dfd, reg, xaux["xrrs"])
@@ -352,7 +358,9 @@ def _tvl1dcn_ystep(cfg, aux, params, state, AXU):
 
 
 def _tvl1dcn_obfn(cfg, aux, params, state, xaux):
-    gv = state.Y
+    gv = state.Y if cfg.g_eval_y else \
+        (_tvl1dcn_cnst_a(cfg, aux, params, state.X)
+         - _tvl1_cnst_c(cfg, aux, params))
     dfd = jnp.sum(jnp.abs(params["Wdf"] * gv[..., -1]))
     reg = jnp.sum(params["Wtv"]
                   * jnp.sqrt(jnp.sum(_sq(gv[..., :-1]), axis=cfg.saxes)))
@@ -406,7 +414,7 @@ class TVL2Denoise(_TVBase):
 
     def __init__(self, S, lmbda, opt=None, axes=(0, 1), caxis=None,
                  Wdf=1.0, Wtv=1.0, gs_max_iter=2, gs_tol=0.0,
-                 dtype=jnp.float32, Y0=None, U0=None):
+                 dtype=jnp.float32, Y0=None, U0=None, g_eval_y=True):
         super().__init__()
         if opt is None:
             opt = self.options()
@@ -417,7 +425,8 @@ class TVL2Denoise(_TVBase):
         saxes = (-1,) if caxis is None else (caxis, -1)
         self.cfg = TVConfig(axes=tuple(axes), saxes=saxes, sndim=S.ndim,
                             l1_fidelity=self.L1_FID, real=real,
-                            gs_max_iter=gs_max_iter, gs_tol=gs_tol)
+                            gs_max_iter=gs_max_iter, gs_tol=gs_tol,
+                            g_eval_y=g_eval_y)
         self.opts = opt.replace(dtype=dtype)
         rdt = sf.real_dtype(dtype)
         Wtv_ = jnp.asarray(Wtv, rdt)
@@ -482,7 +491,8 @@ class TVL2Deconv(_TVBase):
         return ADMMOpts(**base)
 
     def __init__(self, A, S, lmbda, opt=None, axes=(0, 1), caxis=None,
-                 Wdf=1.0, Wtv=1.0, dtype=jnp.float32, Y0=None, U0=None):
+                 Wdf=1.0, Wtv=1.0, dtype=jnp.float32, Y0=None, U0=None,
+                 g_eval_y=True):
         ADMMModel.__init__(self)
         if opt is None:
             opt = self.options()
@@ -496,7 +506,7 @@ class TVL2Deconv(_TVBase):
             A = A.reshape(A.shape + (1,) * (S.ndim - A.ndim))
         saxes = (-1,) if caxis is None else (caxis, -1)
         self.cfg = TVConfig(axes=tuple(axes), saxes=saxes, sndim=S.ndim,
-                            deconv=True, real=real)
+                            deconv=True, real=real, g_eval_y=g_eval_y)
         self.opts = opt.replace(dtype=dtype)
         rdt = sf.real_dtype(dtype)
         Wtv_ = jnp.asarray(Wtv, rdt)

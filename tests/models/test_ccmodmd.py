@@ -64,3 +64,69 @@ class TestCCMODMD:
               for m in ("ism", "cg")}
         assert np.linalg.norm(Ds["ism"] - Ds["cg"]) \
             / np.linalg.norm(Ds["ism"]) < 1e-2
+
+
+class TestShapeMatrix:
+    """Smoke the masked-CCMOD solvers over the reference's full
+    (K, C, mask-shape) combination matrix
+    (tests/admm/test_ccmodmd.py:15-196 in the reference)."""
+
+    def setup_method(self):
+        self.rng = np.random.default_rng(12345)
+
+    def _run(self, Xshape, Sshape, Wshape, method="ism", M=4, n=5,
+             dsz=None, **ctor_kw):
+        X = self.rng.standard_normal(Xshape)
+        S = self.rng.standard_normal(Sshape)
+        W = np.abs(self.rng.standard_normal(Wshape))
+        opt = ccmodmd.ConvCnstrMODMaskDcplOptions(
+            method=method, max_iter=n, rel_stop_tol=0.0)
+        b = ccmodmd.ConvCnstrMODMaskDcpl(X, S, W,
+                                         dsz or (4, 4, M), opt=opt,
+                                         method=method, **ctor_kw)
+        b.solve()
+        D = np.asarray(b.getdict())
+        assert np.all(np.isfinite(D))
+        assert D.shape[-1] == M
+        return b
+
+    def test_single_signal_scalar_mask(self):
+        N, M = 8, 4
+        self._run((N, N, 1, 1, M), (N, N), (1,))
+
+    def test_single_signal_spatial_mask(self):
+        N, M = 8, 4
+        self._run((N, N, 1, 1, M), (N, N), (N, N))
+
+    def test_multi_signal_spatial_mask(self):
+        N, M, K = 8, 4, 3
+        self._run((N, N, 1, K, M), (N, N, K), (N, N))
+
+    def test_multi_signal_per_signal_mask(self):
+        N, M, K = 8, 4, 3
+        self._run((N, N, 1, K, M), (N, N, K), (N, N, K))
+
+    def test_multi_channel_per_channel_mask(self):
+        # single-channel dict, multi-channel signal: C folds onto K
+        # (reference tests/admm/test_ccmodmd.py:93-108 passes dimK=0 and
+        # an explicit-channel dsz)
+        N, M, C = 8, 4, 3
+        self._run((N, N, C, 1, M), (N, N, C), (N, N, C),
+                  dsz=(4, 4, 1, M), dimK=0)
+
+    def test_multi_channel_multi_signal_full_mask(self):
+        N, M, C, K = 8, 4, 3, 2
+        self._run((N, N, C, K, M), (N, N, C, K), (N, N, C, K))
+
+    def test_multi_channel_multi_signal_channel_mask(self):
+        N, M, C, K = 8, 4, 3, 2
+        self._run((N, N, C, K, M), (N, N, C, K), (N, N, C))
+
+    def test_multi_channel_multi_signal_signal_mask(self):
+        N, M, C, K = 8, 4, 3, 2
+        self._run((N, N, C, K, M), (N, N, C, K), (N, N, 1, K))
+
+    def test_all_methods_multi_signal(self):
+        N, M, K = 8, 4, 3
+        for m in ("ism", "cg", "cns"):
+            self._run((N, N, 1, K, M), (N, N, K), (N, N, K), method=m)

@@ -172,3 +172,123 @@ class TestComplexTV:
         X = b.solve()
         assert jnp.iscomplexobj(X)
         assert np.all(np.isfinite(b.getitstat().ObjFun))
+
+
+class TestTVGoldenReference:
+    """Golden objective values published in the reference's own test
+    suite (tests/admm/test_tvl2.py:125-230, test_tvl1.py:150-260),
+    reproduced on identical seeded data.  Tolerances are loosened from
+    the reference's 1e-6 to absorb the X-vs-Y objective-evaluation
+    convention difference at convergence."""
+
+    def _tvl2_2d(self):
+        np.random.seed(12345)
+        N = 64
+        U = np.ones((N, N)); U[:, :N // 2] = -1
+        D = U + 1e-1 * np.random.randn(N, N)
+        return U, D
+
+    def _tvl2_3d(self):
+        np.random.seed(12345)
+        N = 32
+        U = np.ones((N, N, N)); U[:, :N // 2, :] = -1
+        D = U + 1e-1 * np.random.randn(N, N, N)
+        return U, D
+
+    def _tvl1_2d(self):
+        np.random.seed(12345)
+        N, L = 64, 20
+        U = np.ones((N, N)); U[:, :N // 2] = -1
+        V = np.random.randn(N, N)
+        t = np.sort(np.abs(V).ravel())[V.size - L]
+        V[np.abs(V) < t] = 0
+        return U, U + V
+
+    def _mse(self, a, b):
+        return float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+
+    def test_tvl2_denoise_2d(self):
+        U, D = self._tvl2_2d()
+        lmbda = 1e-1
+        opt = tv.TVL2Denoise.options(max_iter=300, rho=75 * lmbda)
+        b = tv.TVL2Denoise(D, lmbda, opt=opt, dtype=jnp.float64,
+                           g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 32.875710674129564) < 1e-3
+        assert self._mse(U, X) < 1e-3
+
+    def test_tvl2_deconv_2d(self):
+        U, D = self._tvl2_2d()
+        lmbda = 1e-1
+        opt = tv.TVL2Deconv.options(max_iter=250)
+        b = tv.TVL2Deconv(np.ones((1, 1)), D, lmbda, opt=opt,
+                          dtype=jnp.float64, g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 45.45958573088) < 1e-3
+        assert self._mse(U, X) < 1e-3
+
+    def test_tvl2_denoise_3d_axes01(self):
+        U, D = self._tvl2_3d()
+        lmbda = 1e-1
+        opt = tv.TVL2Denoise.options(max_iter=250, rho=10 * lmbda)
+        b = tv.TVL2Denoise(D, lmbda, opt=opt, axes=(0, 1),
+                           dtype=jnp.float64, g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 363.0802047) < 1e-3
+        assert self._mse(U, X) < 1e-3
+
+    def test_tvl2_denoise_3d_axes012(self):
+        U, D = self._tvl2_3d()
+        lmbda = 1e-1
+        opt = tv.TVL2Denoise.options(max_iter=250, rho=10 * lmbda)
+        b = tv.TVL2Denoise(D, lmbda, opt=opt, axes=(0, 1, 2),
+                           dtype=jnp.float64, g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 366.04267554965134) < 1e-3
+        assert self._mse(U, X) < 1e-3
+
+    def test_tvl2_deconv_3d_axes012(self):
+        U, D = self._tvl2_3d()
+        lmbda = 1e-1
+        opt = tv.TVL2Deconv.options(max_iter=250)
+        b = tv.TVL2Deconv(np.ones((1, 1, 1)), D, lmbda, opt=opt,
+                          axes=(0, 1, 2), dtype=jnp.float64,
+                          g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 567.72425227) < 1e-2
+        assert self._mse(U, X) < 1e-3
+
+    def test_tvl1_denoise_2d(self):
+        U, D = self._tvl1_2d()
+        opt = tv.TVL1Denoise.options(max_iter=250)
+        b = tv.TVL1Denoise(D, 3.0, opt=opt, dtype=jnp.float64,
+                           g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 447.78101756451662) < 1e-3
+        assert self._mse(U, X) < 1e-5
+
+    def test_tvl1_deconv_2d(self):
+        U, D = self._tvl1_2d()
+        opt = tv.TVL1Deconv.options(max_iter=250, rho=10.0)
+        b = tv.TVL1Deconv(np.ones((1, 1)), D, 3.0, opt=opt,
+                          dtype=jnp.float64, g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 831.88219947939172) < 1e-2
+        assert self._mse(U, X) < 1e-4
+
+
+class TestTVDtypePlumbing:
+    """DataType-propagation tests (reference test_tvl2.py:59-117)."""
+
+    def test_dtypes(self):
+        np.random.seed(12345)
+        D = np.random.randn(16, 16)
+        for dt in (jnp.float32, jnp.float64):
+            opt = tv.TVL2Denoise.options(max_iter=5)
+            b = tv.TVL2Denoise(D, 3.0, opt=opt, dtype=dt)
+            X = b.solve()
+            assert X.dtype == jnp.dtype(dt)
+            opt = tv.TVL2Deconv.options(max_iter=5)
+            b = tv.TVL2Deconv(np.ones((1, 1)), D, 3.0, opt=opt, dtype=dt)
+            X = b.solve()
+            assert X.dtype == jnp.dtype(dt)
