@@ -85,9 +85,17 @@ def _bp_xinit(cfg, params):
                      params["S"].dtype)
 
 
+def _bp_obfn(cfg, aux, params, X):
+    # RegL1 reported unscaled, as the reference does
+    # (sporco/pgm/bpdn.py:214-220)
+    f = _bp_f(cfg, aux, params, X)
+    reg = jnp.sum(jnp.abs(params["wl1"] * X))
+    return (f + params["lmbda"] * reg, f, reg)
+
+
 _BPDN_PGM = PGMProblem(setup=_bp_setup, grad_f=_bp_grad, prox_g=_bp_prox,
                        obfn_f=_bp_f, obfn_g=_bp_g, hessian_f=_bp_hess,
-                       xinit=_bp_xinit,
+                       xinit=_bp_xinit, obfn=_bp_obfn,
                        stat_names=("ObjFun", "DFid", "RegL1"))
 
 
@@ -196,6 +204,13 @@ def _pcb_g(cfg, aux, params, X):
     return params["lmbda"] * jnp.sum(jnp.abs(params["wl1"] * X))
 
 
+def _pcb_obfn(cfg, aux, params, X):
+    # RegL1 reported unscaled (sporco/pgm/cbpdn.py:355-366)
+    f = _pcb_f(cfg, aux, params, X)
+    reg = jnp.sum(jnp.abs(params["wl1"] * X))
+    return (f + params["lmbda"] * reg, f, reg)
+
+
 def _pcb_hess(cfg, aux, params, V):
     cri = cfg.cri
     axes = tuple(range(-cri.dimN, 0))
@@ -222,6 +237,7 @@ class PGMCSCConfig:
 _CBPDN_PGM = PGMProblem(setup=_pcb_setup, grad_f=_pcb_grad,
                         prox_g=_pcb_prox, obfn_f=_pcb_f, obfn_g=_pcb_g,
                         hessian_f=_pcb_hess, xinit=_pcb_xinit,
+                        obfn=_pcb_obfn,
                         stat_names=("ObjFun", "DFid", "RegL1"))
 
 

@@ -29,6 +29,7 @@ class SplineConfig:
     axes: Tuple[int, ...]
     sndim: int
     lin_check: bool = False
+    g_eval_y: bool = True   # reference's gEvalY option
 
 
 def _setup(cfg, params):
@@ -65,7 +66,7 @@ def _cnst_c(cfg, aux, params):
 
 
 def _obfn(cfg, aux, params, state, xaux):
-    gv = state.Y
+    gv = state.Y if cfg.g_eval_y else state.X - params["S"]
     dfd = jnp.sum(jnp.abs(params["Wdf"] * gv))
     dX = aux["alpha"] * sf.dctii(state.X, axes=cfg.axes)
     reg = 0.5 * jnp.sum(dX ** 2)
@@ -99,14 +100,15 @@ class SplineL1(ADMMModel):
         return ADMMOpts(**base)
 
     def __init__(self, S, lmbda, opt=None, axes=(0, 1), Wdf=1.0,
-                 lin_check=False, dtype=jnp.float32, Y0=None, U0=None):
+                 lin_check=False, dtype=jnp.float32, Y0=None, U0=None,
+                 g_eval_y=True):
         super().__init__()
         if opt is None:
             opt = self.options()
         S = jnp.asarray(S, dtype)
         self.lmbda = lmbda
         self.cfg = SplineConfig(axes=tuple(axes), sndim=S.ndim,
-                                lin_check=lin_check)
+                                lin_check=lin_check, g_eval_y=g_eval_y)
         self.opts = opt.replace(dtype=dtype)
         self.params = {"S": S, "lmbda": jnp.asarray(lmbda, dtype),
                        "Wdf": jnp.asarray(Wdf, dtype)}

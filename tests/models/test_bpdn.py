@@ -212,3 +212,30 @@ class TestCheckpointHelpers:
         out = capsys.readouterr().out
         assert "ObjFun" in out and "Rho" in out
         assert len(out.strip().splitlines()) == 5   # header + sep + 3
+
+
+class TestGoldenReference:
+    """Golden values from the reference's own suite
+    (tests/admm/test_bpdn.py:130-149): seeded sparse-recovery problem
+    with published ObjFun/DFid/RegL1 constants."""
+
+    def _problem(self):
+        np.random.seed(12345)
+        N, M, L = 64, 128, 4
+        D = np.random.randn(N, M)
+        x0 = np.zeros((M, 1))
+        si = np.random.permutation(list(range(0, M - 1)))
+        x0[si[0:L]] = np.random.randn(L, 1)
+        return D, x0, D.dot(x0)
+
+    def test_admm_golden(self):
+        D, x0, s0 = self._problem()
+        opt = bpdn.BPDN.options(max_iter=500, rel_stop_tol=5e-4)
+        b = bpdn.BPDN(D, s0, lmbda=5e-3, opt=opt, dtype=jnp.float64)
+        b.solve()
+        its = b.getitstat()
+        x1 = np.asarray(b.getcoef())
+        assert abs(its.ObjFun[-1] - 0.012009) < 1e-5
+        assert abs(its.DFid[-1] - 1.9636082e-06) < 1e-5
+        assert abs(its.RegL1[-1] - 2.401446) < 1e-4
+        assert np.linalg.norm(x1 - x0) < 1e-3

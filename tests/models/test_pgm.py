@@ -245,3 +245,28 @@ class TestPGMCCMOD:
                                  dtype=jnp.float64)
         b.solve()
         assert np.isfinite(b.getitstat().DFid[-1])
+
+
+class TestGoldenReference:
+    """Golden values from the reference (tests/pgm/test_bpdn.py:145-168):
+    PGM BPDN with robust backtracking on the same seeded problem as the
+    ADMM golden test."""
+
+    def test_pgm_backtrack_robust_golden(self):
+        np.random.seed(12345)
+        N, M, L = 64, 128, 4
+        D = np.random.randn(N, M)
+        x0 = np.zeros((M, 1))
+        si = np.random.permutation(list(range(0, M - 1)))
+        x0[si[0:L]] = np.random.randn(L, 1)
+        s0 = D.dot(x0)
+        opt = pgm.BPDN.options(max_iter=1000, rel_stop_tol=5e-8,
+                               backtrack="robust", bt_gamma_d=0.95)
+        b = pgm.BPDN(D, s0, lmbda=5e-3, opt=opt, dtype=jnp.float64)
+        b.solve()
+        its = b.getitstat()
+        x1 = np.asarray(b.getmin())
+        assert abs(its.ObjFun[-1] - 0.012009) < 1e-5
+        assert abs(its.DFid[-1] - 1.9636082e-06) < 1e-5
+        assert abs(its.RegL1[-1] - 2.401446) < 2e-4
+        assert np.linalg.norm(x1 - x0) < 1e-3

@@ -292,3 +292,26 @@ class TestTVDtypePlumbing:
             b = tv.TVL2Deconv(np.ones((1, 1)), D, 3.0, opt=opt, dtype=dt)
             X = b.solve()
             assert X.dtype == jnp.dtype(dt)
+
+
+class TestSplineGoldenReference:
+    """Golden value from the reference (tests/admm/test_spline.py:15-33):
+    l1-spline smoothing of a cosine product surface with sparse
+    outliers, fidelity weight zero at the outlier locations."""
+
+    def test_spline_golden(self):
+        np.random.seed(12345)
+        N, L = 64, 20
+        x = np.cos(np.linspace(0, np.pi, N))[np.newaxis, :]
+        y = np.cos(np.linspace(0, np.pi, N))[:, np.newaxis]
+        U = x * y
+        V = np.random.randn(N, N)
+        t = np.sort(np.abs(V).ravel())[V.size - L]
+        V[np.abs(V) < t] = 0
+        D = U + V
+        opt = spline.SplineL1.options(max_iter=250, rel_stop_tol=5e-4)
+        b = spline.SplineL1(D, 0.1, opt=opt, Wdf=(V == 0),
+                            dtype=jnp.float64, g_eval_y=False)
+        X = b.solve()
+        assert abs(b.getitstat().ObjFun[-1] - 0.333606246) < 1e-5
+        assert float(np.mean((np.asarray(X) - U) ** 2)) < 1e-6
