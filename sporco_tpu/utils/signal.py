@@ -7,6 +7,7 @@ reference's trailing index (``sporco/signal.py:204``).
 """
 
 import math
+from functools import partial
 
 import numpy as np
 import jax
@@ -100,11 +101,10 @@ def gradient_filters(axes_ndim, axshp, dtype=jnp.float32, real=True):
     return Gf, GHGf
 
 
-def tikhonov_filter(s, lmbda, npd=16):
-    """Split ``s`` into lowpass/highpass components via Tikhonov
-    regularisation with a gradient operator (``sporco/signal.py:244``).
-    The two *trailing* axes are treated as spatial.  Returns
-    ``(lowpass, highpass)``."""
+@partial(jax.jit, static_argnums=(2,))
+def _tikhonov_impl(s, lmbda, npd):
+    # one jitted program: complex intermediates never cross a jit
+    # boundary (required on TPU backends that cannot transfer complex)
     N0, N1 = s.shape[-2], s.shape[-1]
     sp = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(npd, npd), (npd, npd)],
                  mode="symmetric")
@@ -119,6 +119,14 @@ def tikhonov_filter(s, lmbda, npd=16):
     sp = _fft.irfftn(spf, s=shape, axes=(-2, -1))
     slp = sp[..., npd:npd + N0, npd:npd + N1]
     return slp.astype(s.dtype), (s - slp).astype(s.dtype)
+
+
+def tikhonov_filter(s, lmbda, npd=16):
+    """Split ``s`` into lowpass/highpass components via Tikhonov
+    regularisation with a gradient operator (``sporco/signal.py:244``).
+    The two *trailing* axes are treated as spatial.  Returns
+    ``(lowpass, highpass)``."""
+    return _tikhonov_impl(jnp.asarray(s), lmbda, npd)
 
 
 def gaussian(shape, sd=1.0):
