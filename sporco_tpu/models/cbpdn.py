@@ -295,8 +295,9 @@ class ConvBPDN(ADMMModel):
     def __init__(self, D, S, lmbda=None, opt=None, dimK=None, dimN=2,
                  wl1=1.0, mu=0.0, wl21=1.0, wgrd=1.0, gamma=None,
                  non_neg=False, no_bndry=False, lin_check=False,
-                 dtype=jnp.float32, Y0=None, U0=None):
+                 dtype=jnp.float32, Y0=None, U0=None, fused="auto"):
         super().__init__()
+        self._fused = fused
         if opt is None:
             opt = self.options()
         # complex-input dispatch (sporco/admm/cbpdn.py:213-217)
@@ -345,6 +346,26 @@ class ConvBPDN(ADMMModel):
         self.state = init_state(self.problem, self.cfg, self.params,
                                 self.opts, rho0, rho_xi, Y0=Y0, U0=U0)
         self._init_done()
+
+    def solve(self):
+        """Run (or resume) the solve; routes through the fused Pallas
+        iteration kernels (:mod:`sporco_tpu.ops.fused_csc`, the
+        ``sporco.cuda.cbpdn`` analogue) when the configuration is
+        eligible, else the generic jitted driver."""
+        from sporco_tpu.ops import fused_csc
+        use_fused = self._fused is not False and fused_csc.eligible(
+            self.cfg, self.params, self.opts,
+            force=(self._fused is True))
+        if not use_fused:
+            return super().solve()
+        from sporco_tpu.models.common import device_sync
+        self.k_start = int(self.state.k)
+        self.timer.start("solve")
+        self.state = fused_csc.cbpdn_solve(self.cfg, self.params,
+                                           self.opts, self.state)
+        device_sync(self.state)
+        self.timer.stop("solve")
+        return self.getmin()
 
     def getmin(self):
         return cr.from_internal_X(self.state.Y, self.cri)

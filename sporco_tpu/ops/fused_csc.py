@@ -1,0 +1,402 @@
+"""Fast fused ConvBPDN ADMM driver (TPU-first spatial formulation).
+
+This is the framework's analogue of the reference's native CUDA
+extension (``sporco.cuda.cbpdn``, binding ``sporco/cuda/__init__.py:6-18``):
+a specialised implementation of the single-channel CSC hot loop
+(``sporco/admm/cbpdn.py:267-311``) that replaces the reference's
+FFT-domain Sherman-Morrison x-step with an exactly equivalent *spatial*
+Woodbury form engineered for the MXU and the HBM roofline.
+
+The reference (and this package's generic path) solves the x-step per
+DFT bin: ``Xf = solvedbi_sm(Df, rho, DSf + rho fft(Y-U))``
+(``sporco/admm/cbpdn.py:275``, ``sporco/linalg.py:232``), which needs a
+forward+inverse M-channel 2D FFT per iteration -- the dominant cost.
+For dictionaries with small support (the common case: e.g. 8x8 filters)
+the Woodbury identity
+
+    x = yu + D^H G,   G = irfft( (Sf - rfft(D yu)) / (DHD + rho) )
+
+turns the M-channel FFT pair into two *small-kernel spatial
+convolutions* (``D yu = sum_m d_m * yu_m`` and the per-filter
+correlation ``D^H G``) plus one *single-channel* FFT pair -- a ~25x FLOP
+reduction, with the convolutions mapping onto the MXU.  ``DHD =
+sum_m |Df_m|^2`` is loop-invariant.  The objective inner product is
+free: ``DXf = rfft(D x) = rf + DHD g``.
+
+To keep the convolutions MXU-shaped (a sum over M into ONE output
+channel starves the systolic array), the whole ADMM state lives in a
+**polyphase (space-to-depth) layout** inside the loop: spatial axes are
+folded by a factor ``PS=8`` into channels, making ``D``'s action a
+2-tap-per-axis convolution with ``PS^2 M`` input channels -- dense MXU
+contractions.  The prox / dual-update / residual tail is elementwise
+and layout-free, so pack/unpack happens once per ``solve()`` call, not
+per iteration.
+
+The driver reproduces the generic ``admm_solve`` semantics exactly
+(normalised residuals, adaptive rho with dual rescaling, identical
+per-iteration stats rows, re-entrant state) and returns the same
+:class:`~sporco_tpu.solvers.admm.ADMMState` in the standard layout.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sporco_tpu.ops import fft as sf
+from sporco_tpu.solvers.admm import ADMMState, _update_rho
+
+__all__ = ["cbpdn_solve", "eligible"]
+
+PS = 8          # polyphase factor (spatial fold per axis)
+UNROLL = 4      # iterations per while_loop step (overhead amortisation)
+
+
+# ---------------------------------------------------------------------------
+# Polyphase packing
+
+def poly_pack(A, ps=PS):
+    """(..., N0, N1) -> (..., N0/ps, N1/ps, ps*ps) with channel order
+    (w0, w1): A[..., w0 + ps p, w1 + ps q] = P[..., p, q, w0*ps + w1]."""
+    lead = A.shape[:-2]
+    n0, n1 = A.shape[-2:]
+    P = A.reshape(lead + (n0 // ps, ps, n1 // ps, ps))
+    nl = len(lead)
+    perm = tuple(range(nl)) + (nl, nl + 2, nl + 1, nl + 3)
+    return P.transpose(perm).reshape(lead + (n0 // ps, n1 // ps, ps * ps))
+
+
+def poly_unpack(P, ps=PS):
+    """Inverse of :func:`poly_pack`."""
+    lead = P.shape[:-3]
+    p0, p1 = P.shape[-3:-1]
+    nl = len(lead)
+    A = P.reshape(lead + (p0, p1, ps, ps))
+    perm = tuple(range(nl)) + (nl, nl + 2, nl + 1, nl + 3)
+    return A.transpose(perm).reshape(lead + (p0 * ps, p1 * ps))
+
+
+def pack_state(A, ps=PS):
+    """Internal CSC layout (K, 1, M, N0, N1) -> polyphase NHWC
+    (K, N0/ps, N1/ps, ps*ps*M) with channel order (w0, w1, m)."""
+    K, _, M, n0, n1 = A.shape
+    P = poly_pack(A.reshape(K, M, n0, n1), ps)     # (K, M, p0, p1, ps*ps)
+    P = P.transpose(0, 2, 3, 4, 1)                 # (K, p0, p1, ps*ps, M)
+    return P.reshape(K, n0 // ps, n1 // ps, ps * ps * M)
+
+
+def unpack_state(P, M, ps=PS):
+    """Inverse of :func:`pack_state`."""
+    K, p0, p1, _ = P.shape
+    A = P.reshape(K, p0, p1, ps * ps, M).transpose(0, 4, 1, 2, 3)
+    return poly_unpack(A, ps).reshape(K, 1, M, p0 * ps, p1 * ps)
+
+
+# ---------------------------------------------------------------------------
+# Polyphase convolution kernels built from the dictionary
+
+def _sel_fwd(nd, ps):
+    """Selector S[a, k, w, u] = 1 iff the forward-convolution tap
+    ``yu[x - u]`` at output phase ``a`` reads input phase
+    ``w = (a - u) mod ps`` at polyphase shift ``j = (w - (a-u))/ps``,
+    mapped to padded-conv tap ``k = J - j`` (input pre-padded by J at
+    the front with wrap)."""
+    J = -(-(nd - 1) // ps)
+    S = np.zeros((ps, J + 1, ps, nd), np.float32)
+    for a in range(ps):
+        for u in range(nd):
+            w = (a - u) % ps
+            j = (w - (a - u)) // ps
+            S[a, J - j, w, u] = 1.0
+    return S, J
+
+
+def _sel_adj(nd, ps):
+    """Selector for the adjoint (correlation) ``G[x + u]``: output phase
+    ``a`` reads phase ``w = (a + u) mod ps`` at shift ``j = (a+u-w)/ps``,
+    tap ``k = j`` (input post-padded by J with wrap)."""
+    J = -(-(nd - 1) // ps)
+    S = np.zeros((ps, J + 1, ps, nd), np.float32)
+    for a in range(ps):
+        for u in range(nd):
+            w = (a + u) % ps
+            j = (a + u - w) // ps
+            S[a, j, w, u] = 1.0
+    return S, J
+
+
+def _fwd_kernel(D, nd0, nd1, ps):
+    """HWIO conv kernel for ``R = sum_m d_m (*) yu_m`` in polyphase:
+    input channels (w0, w1, m), output channels (a0, a1)."""
+    M = D.shape[0]
+    S0, J0 = _sel_fwd(nd0, ps)
+    S1, J1 = _sel_fwd(nd1, ps)
+    # ker[kx, ky, (w0 w1 m), (a0 a1)]
+    # the selectors are 0/1 so this is pure data movement -- HIGHEST
+    # keeps the kernel weights f32-exact (TPU default would round to bf16)
+    ker = jnp.einsum("muv,akwu,blzv->klwzmab", D,
+                     jnp.asarray(S0), jnp.asarray(S1),
+                     precision=lax.Precision.HIGHEST)
+    ker = ker.reshape(J0 + 1, J1 + 1, ps * ps * M, ps * ps)
+    return ker, J0, J1
+
+
+def _adj_kernel(D, nd0, nd1, ps):
+    """HWIO conv kernel for ``(D^H G)_m = corr(G, d_m)`` in polyphase:
+    input channels (w0, w1), output channels (a0, a1, m)."""
+    M = D.shape[0]
+    S0, J0 = _sel_adj(nd0, ps)
+    S1, J1 = _sel_adj(nd1, ps)
+    ker = jnp.einsum("muv,akwu,blzv->klwzabm", D,
+                     jnp.asarray(S0), jnp.asarray(S1),
+                     precision=lax.Precision.HIGHEST)
+    ker = ker.reshape(J0 + 1, J1 + 1, ps * ps, ps * ps * M)
+    return ker, J0, J1
+
+
+def _wrap_pad(P, j0, j1, front):
+    """Circular pad of the polyphase spatial dims: by (j0, j1) at the
+    front (forward conv) or back (adjoint conv)."""
+    if front:
+        pad = ((0, 0), (j0, 0), (j1, 0), (0, 0))
+    else:
+        pad = ((0, 0), (0, j0), (0, j1), (0, 0))
+    return jnp.pad(P, pad, mode="wrap")
+
+
+def _conv(P, ker, prec):
+    return lax.conv_general_dilated(
+        P, ker, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec)
+
+
+def _conv_fwd_mm(Pyu, Wf, J0, J1, ps, prec):
+    """Forward polyphase conv as ONE dense matmul plus circular rolls of
+    the small per-tap outputs.  ``out[p] = sum_k ker_k P[p + k - J]``
+    becomes ``sum_k roll(P @ W_k, J - k)``; the big operand ``Pyu`` is
+    read exactly once (the tap-structured ``lax.conv`` re-reads it per
+    tap, measured ~3x slower)."""
+    K, p0, p1, C = Pyu.shape
+    T = (J0 + 1) * (J1 + 1)
+    o = jnp.einsum("kpqc,cd->kpqd", Pyu, Wf, precision=prec)
+    o = o.reshape(K, p0, p1, T, ps * ps)
+    out = 0.0
+    for kx in range(J0 + 1):
+        for ky in range(J1 + 1):
+            t = kx * (J1 + 1) + ky
+            out = out + jnp.roll(o[:, :, :, t], (J0 - kx, J1 - ky),
+                                 axis=(1, 2))
+    return out
+
+
+def _conv_adj_mm(Gp, Wa, J0, J1, prec):
+    """Adjoint polyphase conv as rolled-input concat + ONE dense matmul:
+    ``out[p] = sum_k ker_k G[p + k]`` = ``concat_k roll(G, -k) @ W``;
+    the big output is written exactly once."""
+    gs = []
+    for kx in range(J0 + 1):
+        for ky in range(J1 + 1):
+            gs.append(jnp.roll(Gp, (-kx, -ky), axis=(1, 2)))
+    gc = jnp.concatenate(gs, axis=-1)
+    return jnp.einsum("kpqc,cd->kpqd", gc, Wa, precision=prec)
+
+
+# ---------------------------------------------------------------------------
+# Eligibility
+
+def eligible(cfg, params, opts, force=False):
+    """Whether the fused spatial driver handles this ConvBPDN
+    configuration."""
+    cri = cfg.cri
+    if not (cfg.real and cfg.variant == "l1" and cri.dimN == 2
+            and cri.Cd == 1 and cri.C == 1 and not cfg.no_bndry
+            and not cfg.lin_check and cfg.ams_nimp == 0):
+        return False
+    if jnp.asarray(params["wl1"]).ndim != 0:
+        return False
+    if jnp.dtype(opts.dtype) != jnp.dtype(jnp.float32):
+        return False
+    n0, n1 = cri.Nv
+    if n0 % PS != 0 or n1 % PS != 0 or n1 % 2 != 0:
+        return False
+    # small-support dictionaries only: the spatial form costs
+    # O(N^2 M nd^2); beyond ~24^2 supports the FFT path wins
+    nd0, nd1 = cri.dsz[0], cri.dsz[1]
+    if nd0 > 24 or nd1 > 24:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# The fused driver
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _cbpdn_fused_run(cfg, opts, params, state):
+    """Jitted fused solve call: identical iteration semantics to the
+    generic driver (``solvers/admm.py:_admm_run``) specialised to the
+    single-channel l1 CSC problem, with the spatial Woodbury x-step."""
+    cri = cfg.cri
+    n0, n1 = cri.Nv
+    K, M = cri.K, cri.M
+    nd0, nd1 = cri.dsz[0], cri.dsz[1]
+    axes = (-2, -1)
+    ar = opts.auto_rho
+    rlx = opts.relax_param
+    lmbda = params["lmbda"]
+    wl1 = params["wl1"]
+    prec = lax.Precision.HIGH
+
+    D = params["D"].reshape(M, nd0, nd1)
+    S = params["S"].reshape(K, n0, n1)
+
+    # loop-invariant pieces
+    Df = sf.rfftn(D, s=cri.Nv, axes=axes)
+    DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=0)        # (n0, k1)
+    Sf = sf.rfftn(S, axes=axes)                            # (K, n0, k1)
+    sfr, sfi = jnp.real(Sf), jnp.imag(Sf)
+    kfwd, jf0, jf1 = _fwd_kernel(D, nd0, nd1, PS)
+    kadj, ja0, ja1 = _adj_kernel(D, nd0, nd1, PS)
+    Tf = (jf0 + 1) * (jf1 + 1)
+    C = PS * PS * M
+    # single-matmul weight layouts (see _conv_fwd_mm/_conv_adj_mm)
+    Wf = jnp.transpose(kfwd, (2, 0, 1, 3)).reshape(C, Tf * PS * PS)
+    Wa = kadj.reshape((ja0 + 1) * (ja1 + 1) * PS * PS, C)
+
+    k0 = state.k
+    nc = math.sqrt(K * M * n0 * n1)
+    nx = nc
+
+    def converged(st):
+        return jnp.logical_or(
+            jnp.logical_and(st.r <= st.epri, st.s <= st.edua),
+            st.k - k0 >= opts.max_iter)
+
+    def cond(st):
+        return jnp.logical_not(converged(st))
+
+    def body(carry):
+        st, us = carry
+        # ``us`` is the deferred AutoRho dual-rescale factor: the true
+        # dual is ``us * st.U`` -- folding the (per-iteration, period-1)
+        # ``U /= rsf`` of sporco/admm/admm.py:572-573 into the adjacent
+        # elementwise passes instead of a dedicated 134 MB read+write
+        PY = st.Y
+        PU = us * st.U
+        rho = st.rho
+        # ---- x-step (spatial Woodbury; == solvedbi_sm of the FFT path)
+        Pyu = PY - PU
+        Rp = _conv_fwd_mm(Pyu, Wf, jf0, jf1, PS, prec)
+        R = poly_unpack(Rp)                                # (K, n0, n1)
+        rf = sf.rfftn(R, axes=axes)
+        rfr, rfi = jnp.real(rf), jnp.imag(rf)
+        den = 1.0 / (DHD[None] + rho)
+        gr = (sfr - rfr) * den
+        gi = (sfi - rfi) * den
+        G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
+        Gp = poly_pack(G)                                  # (K,p0,p1,64)
+        PX = Pyu + _conv_adj_mm(Gp, Wa, ja0, ja1, prec)
+
+        # ---- relax, prox y-step, dual update (elementwise, layout-free)
+        AX = rlx * PX + (1.0 - rlx) * PY
+        AXU = AX + PU
+        thr = (lmbda / rho) * wl1
+        PYn = jnp.sign(AXU) * jnp.maximum(jnp.abs(AXU) - thr, 0.0)
+        if cfg.non_neg:
+            PYn = jnp.maximum(PYn, 0.0)
+        PUn = PU + AX - PYn
+
+        # ---- residuals (sporco/admm/admm.py:462-486, normalised form)
+        rnrm = jnp.linalg.norm((PX - PYn).ravel())
+        snrm = rho * jnp.linalg.norm((PYn - PY).ravel())
+        rn = jnp.maximum(jnp.linalg.norm(PX.ravel()),
+                         jnp.linalg.norm(PYn.ravel()))
+        sn = rho * jnp.linalg.norm(PUn.ravel())
+        if ar.std_residuals:
+            r = rnrm
+            s = snrm
+            epri = nc * opts.abs_stop_tol + rn * opts.rel_stop_tol
+            edua = nx * opts.abs_stop_tol + sn * opts.rel_stop_tol
+        else:
+            rn_ = jnp.where(rn == 0.0, 1.0, rn)
+            sn_ = jnp.where(sn == 0.0, 1.0, sn)
+            r = rnrm / rn_
+            s = snrm / sn_
+            epri = nc * opts.abs_stop_tol / rn_ + opts.rel_stop_tol
+            edua = nx * opts.abs_stop_tol / sn_ + opts.rel_stop_tol
+
+        # ---- objective (fEvalX semantics, sporco/admm/cbpdn.py:325-345)
+        # DXf - Sf = rf + DHD g - Sf  (free: no extra FFT or pass over X)
+        if opts.fast_solve:
+            objv = (jnp.nan, jnp.nan, jnp.nan, jnp.nan)
+        else:
+            er = rfr + DHD[None] * gr - sfr
+            ei = rfi + DHD[None] * gi - sfi
+            dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
+            rl1 = wl1 * jnp.sum(jnp.abs(PX))
+            objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
+
+        row_idx = st.k - k0
+        row = jnp.stack([jnp.float32(st.k)]
+                        + [jnp.float32(o) for o in objv]
+                        + [jnp.float32(r), jnp.float32(s),
+                           jnp.float32(epri), jnp.float32(edua),
+                           jnp.float32(st.rho)])
+        stats = lax.dynamic_update_slice(
+            st.stats, row[None, :], (row_idx, jnp.zeros_like(row_idx)))
+
+        if opts.verbose:
+            jax.debug.print(
+                "it {k}  obj {o:.4e}  r {r:.3e}  s {s:.3e}  rho {rho:.3e}",
+                k=st.k, o=row[1], r=r, s=s, rho=st.rho)
+
+        rho_new, usn = _update_rho(ar, st.k, r, s, rho, st.rho_xi,
+                                   jnp.float32(1.0))
+        st2 = ADMMState(X=PX, Y=PYn, U=PUn, rho=rho_new,
+                        rho_xi=st.rho_xi, k=st.k + 1, r=r, s=s,
+                        epri=epri, edua=edua, stats=stats,
+                        extra=st.extra)
+        return (st2, usn)
+
+    def body_unrolled(carry):
+        # amortise the per-step while_loop overhead (~0.3 ms on the
+        # relay backend) over UNROLL exactly-guarded iterations: each
+        # inner iteration is skipped via lax.cond once converged, so
+        # semantics are identical to a per-iteration loop
+        carry = body(carry)
+        for _ in range(UNROLL - 1):
+            carry = lax.cond(converged(carry[0]), lambda c: c, body,
+                             carry)
+        return carry
+
+    st0 = state._replace(X=pack_state(state.X), Y=pack_state(state.Y),
+                         U=pack_state(state.U))
+    stf, usf = lax.while_loop(lambda c: cond(c[0]), body_unrolled,
+                              (st0, jnp.float32(1.0)))
+    shp = state.Y.shape
+    return stf._replace(X=unpack_state(stf.X, M).reshape(shp),
+                        Y=unpack_state(stf.Y, M).reshape(shp),
+                        U=(usf * unpack_state(stf.U, M)).reshape(shp))
+
+
+def _rfl2norm2_planar(er, ei, n1):
+    """Parseval-corrected squared l2 norm of an rfft half-spectrum given
+    planar parts (cf. ``sporco/fft.py:449-484``): double all bins except
+    the first (and, for even n1, the last) column, divide by n0*n1."""
+    k1 = er.shape[-1]
+    sq = er * er + ei * ei
+    total = 2.0 * jnp.sum(sq)
+    edge = jnp.sum(sq[..., 0])
+    if n1 % 2 == 0:
+        edge = edge + jnp.sum(sq[..., k1 - 1])
+    n = er.shape[-2] * n1
+    return (total - edge) / n
+
+
+def cbpdn_solve(cfg, params, opts, state):
+    """Host wrapper mirroring :func:`sporco_tpu.solvers.admm.admm_solve`
+    for the fused driver."""
+    return _cbpdn_fused_run(cfg, opts, params, state)

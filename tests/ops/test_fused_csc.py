@@ -1,0 +1,73 @@
+"""Fused spatial-Woodbury ConvBPDN driver vs the generic FFT-domain
+driver: identical iteration semantics (sporco/admm/cbpdn.py:267-311 hot
+loop), so trajectories must agree to f32 rounding."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sporco_tpu.models.cbpdn import ConvBPDN
+from sporco_tpu.ops import fused_csc
+
+
+def _problem(N=32, M=4, Nd=8, K=2, seed=12345):
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+    S = rng.standard_normal((N, N, K)).astype(np.float32)
+    return D, S
+
+
+class TestFusedCBPDN:
+
+    def test_matches_generic(self):
+        D, S = _problem()
+        opt = ConvBPDN.options(max_iter=30, rel_stop_tol=0.0)
+        a = ConvBPDN(D, S, 0.1, opt=opt, fused=False)
+        Xa = np.asarray(a.solve())
+        b = ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+        assert fused_csc.eligible(b.cfg, b.params, b.opts)
+        Xb = np.asarray(b.solve())
+        scale = np.abs(Xa).max()
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        sa, sb = a.getitstat(), b.getitstat()
+        assert np.allclose(sa.ObjFun, sb.ObjFun, rtol=1e-4)
+        assert np.allclose(sa.Rho, sb.Rho, rtol=1e-4)
+        assert np.allclose(sa.PrimalRsdl, sb.PrimalRsdl, rtol=1e-3,
+                           atol=1e-6)
+
+    def test_early_stop_and_reentrant(self):
+        D, S = _problem()
+        opt = ConvBPDN.options(max_iter=200, rel_stop_tol=5e-3)
+        a = ConvBPDN(D, S, 0.3, opt=opt, fused=False)
+        a.solve()
+        b = ConvBPDN(D, S, 0.3, opt=opt, fused=True)
+        b.solve()
+        na, nb = len(a.getitstat()), len(b.getitstat())
+        assert abs(na - nb) <= fused_csc.UNROLL
+        # re-entrant solve: converged, so a further call adds no iters
+        # (per-call stats window, matching the generic driver)
+        ka = int(b.state.k)
+        b.solve()
+        assert int(b.state.k) == ka
+        assert len(b.getitstat()) == 0
+
+    def test_nonneg_and_weighted_ineligible(self):
+        D, S = _problem()
+        opt = ConvBPDN.options(max_iter=20, rel_stop_tol=0.0)
+        a = ConvBPDN(D, S, 0.1, opt=opt, non_neg=True, fused=False)
+        b = ConvBPDN(D, S, 0.1, opt=opt, non_neg=True, fused=True)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 2e-4 * max(np.abs(Xa).max(), 1e-6)
+        # per-element l1 weights fall back to the generic driver
+        w = np.ones((1, 1, 1, 1, 4), np.float32)
+        c = ConvBPDN(D, S, 0.1, opt=opt, wl1=jnp.asarray(w))
+        assert not fused_csc.eligible(c.cfg, c.params, c.opts)
+
+    def test_ineligible_configs(self):
+        D, S = _problem(N=30)          # N % 8 != 0
+        c = ConvBPDN(D, S, 0.1, opt=ConvBPDN.options(max_iter=5))
+        assert not fused_csc.eligible(c.cfg, c.params, c.opts)
+        D, S = _problem()
+        c = ConvBPDN(D, S, 0.1, opt=ConvBPDN.options(max_iter=5),
+                     no_bndry=True)
+        assert not fused_csc.eligible(c.cfg, c.params, c.opts)
