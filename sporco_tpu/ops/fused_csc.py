@@ -210,13 +210,14 @@ def _conv_adj_mm(Gp, Wa, J0, J1, prec):
 
 def eligible(cfg, params, opts, force=False):
     """Whether the fused spatial driver handles this ConvBPDN
-    configuration."""
+    configuration: single-channel 2D real l1/elastic CSC (optionally
+    weighted, non-negative, or AMS-masked -- the scope of the
+    reference's native CUDA ``cbpdn``/``cbpdnmsk`` solvers)."""
     cri = cfg.cri
-    if not (cfg.real and cfg.variant == "l1" and cri.dimN == 2
-            and cri.Cd == 1 and cri.C == 1 and not cfg.no_bndry
-            and not cfg.lin_check and cfg.ams_nimp == 0):
-        return False
-    if jnp.asarray(params["wl1"]).ndim != 0:
+    if not (cfg.real and cfg.variant in ("l1", "elastic")
+            and cri.dimN == 2 and cri.Cd == 1 and cri.C == 1
+            and not cfg.no_bndry and not cfg.lin_check
+            and cfg.obj_from_x and cfg.ams_nimp in (0, 1)):
         return False
     if jnp.dtype(opts.dtype) != jnp.dtype(jnp.float32):
         return False
@@ -247,8 +248,30 @@ def _cbpdn_fused_run(cfg, opts, params, state):
     ar = opts.auto_rho
     rlx = opts.relax_param
     lmbda = params["lmbda"]
-    wl1 = params["wl1"]
+    mu = params["mu"] if cfg.variant == "elastic" else None
     prec = lax.Precision.HIGH
+
+    # l1 weights in the packed layout: scalar, per-filter channel
+    # vector, or (general case) a fully packed field
+    wl1 = jnp.asarray(params["wl1"])
+    if wl1.ndim == 0:
+        wl1p = wl1
+    elif wl1.ndim == 5 and all(d == 1 for i, d in enumerate(wl1.shape)
+                               if i != 2):
+        wl1p = jnp.tile(wl1.reshape(-1), PS * PS)
+    else:
+        wl1p = pack_state(jnp.broadcast_to(
+            wl1, (cfg.cri.K, 1, cfg.cri.M) + tuple(cfg.cri.Nv)))
+
+    # AMS (wohlberg-2016-boundary): the last filter is the impulse; its
+    # coefficient map takes the unshrunk value (1-W)(AX+U)
+    if cfg.ams_nimp:
+        K_, M_ = cfg.cri.K, cfg.cri.M
+        Wp = pack_state(jnp.broadcast_to(
+            params["Wams"], (K_, 1, M_) + tuple(cfg.cri.Nv)))
+        sel = np.zeros((PS * PS, M_), bool)
+        sel[:, -cfg.ams_nimp:] = True
+        imp_sel = jnp.asarray(sel.reshape(-1))
 
     D = params["D"].reshape(M, nd0, nd1)
     S = params["S"].reshape(K, n0, n1)
@@ -288,25 +311,35 @@ def _cbpdn_fused_run(cfg, opts, params, state):
         PU = us * st.U
         rho = st.rho
         # ---- x-step (spatial Woodbury; == solvedbi_sm of the FFT path)
+        # elastic-net adds (mu/2)||x||^2: the system matrix becomes
+        # (rho+mu)I + D^H D, so with beta = rho+mu the same identity
+        # holds with yu scaled by rho/beta (sporco/admm/cbpdn.py:948-975)
+        if mu is None:
+            beta, scale = rho, 1.0
+        else:
+            beta = rho + mu
+            scale = rho / beta
         Pyu = PY - PU
         Rp = _conv_fwd_mm(Pyu, Wf, jf0, jf1, PS, prec)
         R = poly_unpack(Rp)                                # (K, n0, n1)
         rf = sf.rfftn(R, axes=axes)
-        rfr, rfi = jnp.real(rf), jnp.imag(rf)
-        den = 1.0 / (DHD[None] + rho)
+        rfr, rfi = scale * jnp.real(rf), scale * jnp.imag(rf)
+        den = 1.0 / (DHD[None] + beta)
         gr = (sfr - rfr) * den
         gi = (sfi - rfi) * den
         G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
         Gp = poly_pack(G)                                  # (K,p0,p1,64)
-        PX = Pyu + _conv_adj_mm(Gp, Wa, ja0, ja1, prec)
+        PX = scale * Pyu + _conv_adj_mm(Gp, Wa, ja0, ja1, prec)
 
         # ---- relax, prox y-step, dual update (elementwise, layout-free)
         AX = rlx * PX + (1.0 - rlx) * PY
         AXU = AX + PU
-        thr = (lmbda / rho) * wl1
+        thr = (lmbda / rho) * wl1p
         PYn = jnp.sign(AXU) * jnp.maximum(jnp.abs(AXU) - thr, 0.0)
         if cfg.non_neg:
             PYn = jnp.maximum(PYn, 0.0)
+        if cfg.ams_nimp:
+            PYn = jnp.where(imp_sel, (1.0 - Wp) * AXU, PYn)
         PUn = PU + AX - PYn
 
         # ---- residuals (sporco/admm/admm.py:462-486, normalised form)
@@ -329,15 +362,21 @@ def _cbpdn_fused_run(cfg, opts, params, state):
             edua = nx * opts.abs_stop_tol / sn_ + opts.rel_stop_tol
 
         # ---- objective (fEvalX semantics, sporco/admm/cbpdn.py:325-345)
-        # DXf - Sf = rf + DHD g - Sf  (free: no extra FFT or pass over X)
+        # DXf - Sf = scale rf + DHD g - Sf  (free: no extra FFT or pass)
+        nobj = 4 if mu is None else 5
         if opts.fast_solve:
-            objv = (jnp.nan, jnp.nan, jnp.nan, jnp.nan)
+            objv = (jnp.nan,) * nobj
         else:
             er = rfr + DHD[None] * gr - sfr
             ei = rfi + DHD[None] * gi - sfi
             dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
-            rl1 = wl1 * jnp.sum(jnp.abs(PX))
-            objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
+            rl1 = jnp.sum(jnp.abs(wl1p * PX))
+            if mu is None:
+                objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
+            else:
+                rl2 = 0.5 * jnp.sum(PX ** 2)
+                objv = (dfd + lmbda * rl1 + mu * rl2, dfd, rl1, rl2,
+                        jnp.nan)
 
         row_idx = st.k - k0
         row = jnp.stack([jnp.float32(st.k)]

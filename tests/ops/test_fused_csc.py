@@ -51,17 +51,55 @@ class TestFusedCBPDN:
         assert int(b.state.k) == ka
         assert len(b.getitstat()) == 0
 
-    def test_nonneg_and_weighted_ineligible(self):
+    def test_nonneg(self):
         D, S = _problem()
         opt = ConvBPDN.options(max_iter=20, rel_stop_tol=0.0)
         a = ConvBPDN(D, S, 0.1, opt=opt, non_neg=True, fused=False)
         b = ConvBPDN(D, S, 0.1, opt=opt, non_neg=True, fused=True)
         Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
         assert np.abs(Xa - Xb).max() < 2e-4 * max(np.abs(Xa).max(), 1e-6)
-        # per-element l1 weights fall back to the generic driver
-        w = np.ones((1, 1, 1, 1, 4), np.float32)
-        c = ConvBPDN(D, S, 0.1, opt=opt, wl1=jnp.asarray(w))
-        assert not fused_csc.eligible(c.cfg, c.params, c.opts)
+
+    def test_weighted_l1(self):
+        D, S = _problem()
+        opt = ConvBPDN.options(max_iter=20, rel_stop_tol=0.0)
+        # per-filter weights in the user layout Nv + (C, K, M)
+        w = np.linspace(0.5, 2.0, 4).astype(np.float32).reshape(
+            1, 1, 1, 1, 4)
+        a = ConvBPDN(D, S, 0.1, opt=opt, wl1=w, fused=False)
+        b = ConvBPDN(D, S, 0.1, opt=opt, wl1=w, fused=True)
+        assert fused_csc.eligible(b.cfg, b.params, b.opts)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 2e-4 * np.abs(Xa).max()
+        assert np.allclose(a.getitstat().ObjFun, b.getitstat().ObjFun,
+                           rtol=1e-4)
+
+    def test_elastic(self):
+        from sporco_tpu.models.cbpdn import ConvElasticNet
+        D, S = _problem()
+        opt = ConvElasticNet.options(max_iter=25, rel_stop_tol=0.0)
+        a = ConvElasticNet(D, S, 0.1, mu=0.05, opt=opt, fused=False)
+        b = ConvElasticNet(D, S, 0.1, mu=0.05, opt=opt, fused=True)
+        assert fused_csc.eligible(b.cfg, b.params, b.opts)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 2e-4 * np.abs(Xa).max()
+        sa, sb = a.getitstat(), b.getitstat()
+        assert np.allclose(sa.ObjFun, sb.ObjFun, rtol=1e-4)
+        assert np.allclose(sa.RegL2, sb.RegL2, rtol=1e-3, atol=1e-6)
+
+    def test_ams_mask(self):
+        from sporco_tpu.models.cbpdn import AddMaskSim
+        rng = np.random.default_rng(3)
+        D, S = _problem()
+        W = (rng.random(S.shape[:2]) > 0.2).astype(np.float32)
+        opt = ConvBPDN.options(max_iter=25, rel_stop_tol=0.0)
+        a = AddMaskSim(ConvBPDN, D, S, W, 0.1, opt=opt, fused=False)
+        b = AddMaskSim(ConvBPDN, D, S, W, 0.1, opt=opt, fused=True)
+        assert fused_csc.eligible(b.cbpdn.cfg, b.cbpdn.params,
+                                  b.cbpdn.opts)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 2e-4 * np.abs(Xa).max()
+        assert np.allclose(a.getitstat().ObjFun, b.getitstat().ObjFun,
+                           rtol=1e-4)
 
     def test_ineligible_configs(self):
         D, S = _problem(N=30)          # N % 8 != 0
