@@ -253,8 +253,9 @@ class ConvBPDN(PGMModel):
 
     def __init__(self, D, S, lmbda=None, opt=None, dimK=None, dimN=2,
                  wl1=1.0, W=None, non_neg=False, no_bndry=False,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, fused="auto"):
         super().__init__()
+        self._fused = fused
         if opt is None:
             opt = self.options()
         D = jnp.asarray(D, dtype)
@@ -282,6 +283,23 @@ class ConvBPDN(PGMModel):
         self.state = pgm_init_state(self.problem, self.cfg, self.params,
                                     self.opts, L0)
         self._init_done()
+
+    def solve(self):
+        """Run (or resume) the FISTA solve; routes through the fused
+        packed-layout problem (:mod:`sporco_tpu.ops.fused_csc` -- zero
+        FFTs per iteration) when the configuration is eligible."""
+        from sporco_tpu.ops import fused_csc
+        if self._fused is False or not fused_csc.pgm_eligible(
+                self.cfg, self.params, self.opts):
+            return super().solve()
+        from sporco_tpu.models.common import device_sync
+        self.k_start = int(self.state.k)
+        self.timer.start("solve")
+        self.state = fused_csc.pgm_cbpdn_solve(self.cfg, self.params,
+                                               self.opts, self.state)
+        device_sync(self.state)
+        self.timer.stop("solve")
+        return self.getmin()
 
     def getmin(self):
         return cr.from_internal_X(self.state.X, self.cri)

@@ -439,3 +439,147 @@ def cbpdn_solve(cfg, params, opts, state):
     """Host wrapper mirroring :func:`sporco_tpu.solvers.admm.admm_solve`
     for the fused driver."""
     return _cbpdn_fused_run(cfg, opts, params, state)
+
+
+# ---------------------------------------------------------------------------
+# Fused PGM (FISTA) CSC problem: the same polyphase machinery applied to
+# the proximal-gradient solver (``sporco/pgm/cbpdn.py:29,387``).  The
+# reference's PGMDFT keeps state in the DFT domain and pays one
+# M-channel FFT pair per iteration; in the packed spatial layout the
+# gradient D^H(D y - s) is two MXU convolutions and the data term is an
+# elementwise norm, so the whole FISTA iteration (including masked
+# variants and backtracking f-evaluations) runs with ZERO FFTs.
+
+def _pgm_aux(cfg, params):
+    cri = cfg.cri
+    n0, n1 = cri.Nv
+    M = cri.M
+    nd0, nd1 = cri.dsz[0], cri.dsz[1]
+    D = params["D"].reshape(M, nd0, nd1)
+    kf, jf0, jf1 = _fwd_kernel(D, nd0, nd1, PS)
+    ka, ja0, ja1 = _adj_kernel(D, nd0, nd1, PS)
+    C = PS * PS * M
+    Tf = (jf0 + 1) * (jf1 + 1)
+    aux = {
+        "Wf": jnp.transpose(kf, (2, 0, 1, 3)).reshape(C, Tf * PS * PS),
+        "Wa": ka.reshape((ja0 + 1) * (ja1 + 1) * PS * PS, C),
+        "j": (jf0, jf1, ja0, ja1),
+        "Sp": poly_pack(params["S"].reshape(cri.K, n0, n1)),
+        "wl1p": _packed_l1_weight(params["wl1"], cri),
+    }
+    if cfg.masked:
+        Wm = jnp.broadcast_to(params["W"].reshape(
+            params["W"].shape[0], *params["W"].shape[-2:]),
+            (cri.K, n0, n1))
+        aux["Wp2"] = poly_pack(Wm) ** 2
+    return aux
+
+
+def _packed_l1_weight(wl1, cri):
+    wl1 = jnp.asarray(wl1)
+    if wl1.ndim == 0:
+        return wl1
+    if wl1.ndim == 5 and all(d == 1 for i, d in enumerate(wl1.shape)
+                             if i != 2):
+        return jnp.tile(wl1.reshape(-1), PS * PS)
+    return pack_state(jnp.broadcast_to(
+        wl1, (cri.K, 1, cri.M) + tuple(cri.Nv)))
+
+
+def _pgm_resid(cfg, aux, Yp):
+    jf0, jf1, _, _ = aux["j"]
+    return _conv_fwd_mm(Yp, aux["Wf"], jf0, jf1, PS,
+                        lax.Precision.HIGH) - aux["Sp"]
+
+
+def _pgm_grad(cfg, aux, params, Yp):
+    _, _, ja0, ja1 = aux["j"]
+    Rp = _pgm_resid(cfg, aux, Yp)
+    if cfg.masked:
+        Rp = aux["Wp2"] * Rp
+    return _conv_adj_mm(Rp, aux["Wa"], ja0, ja1, lax.Precision.HIGH)
+
+
+def _pgm_prox(cfg, aux, params, Vp, L):
+    thr = (params["lmbda"] / L) * aux["wl1p"]
+    U = jnp.sign(Vp) * jnp.maximum(jnp.abs(Vp) - thr, 0.0)
+    if cfg.non_neg:
+        U = jnp.maximum(U, 0.0)
+    return U
+
+
+def _pgm_f(cfg, aux, params, Xp):
+    Rp = _pgm_resid(cfg, aux, Xp)
+    if cfg.masked:
+        return 0.5 * jnp.sum(aux["Wp2"] * Rp ** 2)
+    return 0.5 * jnp.sum(Rp ** 2)
+
+
+def _pgm_g(cfg, aux, params, Xp):
+    return params["lmbda"] * jnp.sum(jnp.abs(aux["wl1p"] * Xp))
+
+
+def _pgm_obfn(cfg, aux, params, Xp):
+    f = _pgm_f(cfg, aux, params, Xp)
+    reg = jnp.sum(jnp.abs(aux["wl1p"] * Xp))
+    return (f + params["lmbda"] * reg, f, reg)
+
+
+def _pgm_hess(cfg, aux, params, Vp):
+    jf0, jf1, ja0, ja1 = aux["j"]
+    Rp = _conv_fwd_mm(Vp, aux["Wf"], jf0, jf1, PS, lax.Precision.HIGH)
+    return _conv_adj_mm(Rp, aux["Wa"], ja0, ja1, lax.Precision.HIGH)
+
+
+def _pgm_xinit(cfg, params):
+    cri = cfg.cri
+    return jnp.zeros((cri.K, cri.Nv[0] // PS, cri.Nv[1] // PS,
+                      PS * PS * cri.M), params["S"].dtype)
+
+
+def pgm_eligible(cfg, params, opts, force=False):
+    """Whether the fused packed-layout PGM problem handles this
+    (possibly masked) ConvBPDN configuration."""
+    cri = cfg.cri
+    if not (cri.dimN == 2 and cri.Cd == 1 and cri.C == 1
+            and not cfg.no_bndry):
+        return False
+    if jnp.dtype(opts.dtype) != jnp.dtype(jnp.float32):
+        return False
+    n0, n1 = cri.Nv
+    if n0 % PS != 0 or n1 % PS != 0 or n1 % 2 != 0:
+        return False
+    nd0, nd1 = cri.dsz[0], cri.dsz[1]
+    if nd0 > 24 or nd1 > 24:
+        return False
+    return True
+
+
+def pgm_cbpdn_solve(cfg, params, opts, state):
+    """Pack the PGM state into the polyphase layout, run the generic
+    jitted FISTA loop over the fused problem, and unpack.  Pure layout
+    permutation: residual norms, inner products, and stats are identical
+    to the generic path."""
+    from sporco_tpu.solvers import pgm as _pgm
+    shp = state.X.shape
+    M = cfg.cri.M
+    packed = state._replace(
+        X=pack_state(state.X), Y=pack_state(state.Y),
+        Xprv=pack_state(state.Xprv), Gprv=pack_state(state.Gprv),
+        Zrb=pack_state(state.Zrb))
+    out = _pgm._pgm_run(_CBPDN_PGM_FUSED, cfg, params, opts, packed)
+    unp = lambda P: unpack_state(P, M).reshape(shp)
+    return out._replace(X=unp(out.X), Y=unp(out.Y), Xprv=unp(out.Xprv),
+                        Gprv=unp(out.Gprv), Zrb=unp(out.Zrb))
+
+
+def _make_pgm_problem():
+    from sporco_tpu.solvers.pgm import PGMProblem
+    return PGMProblem(setup=_pgm_aux, grad_f=_pgm_grad,
+                      prox_g=_pgm_prox, obfn_f=_pgm_f, obfn_g=_pgm_g,
+                      hessian_f=_pgm_hess, xinit=_pgm_xinit,
+                      obfn=_pgm_obfn,
+                      stat_names=("ObjFun", "DFid", "RegL1"))
+
+
+_CBPDN_PGM_FUSED = _make_pgm_problem()

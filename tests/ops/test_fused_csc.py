@@ -109,3 +109,44 @@ class TestFusedCBPDN:
         c = ConvBPDN(D, S, 0.1, opt=ConvBPDN.options(max_iter=5),
                      no_bndry=True)
         assert not fused_csc.eligible(c.cfg, c.params, c.opts)
+
+
+class TestFusedPGM:
+    """Packed-layout FISTA problem vs the generic DFT-domain problem."""
+
+    def test_matches_generic(self):
+        from sporco_tpu.models import pgm as mp
+        D, S = _problem()
+        opt = mp.ConvBPDN.options(max_iter=30, rel_stop_tol=0.0, L=50.0)
+        a = mp.ConvBPDN(D, S, 0.1, opt=opt, fused=False)
+        b = mp.ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+        assert fused_csc.pgm_eligible(b.cfg, b.params, b.opts)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 1e-4 * np.abs(Xa).max()
+        assert np.allclose(a.getitstat().ObjFun, b.getitstat().ObjFun,
+                           rtol=1e-4)
+
+    def test_masked_backtracking(self):
+        from sporco_tpu.models import pgm as mp
+        rng = np.random.default_rng(3)
+        D, S = _problem()
+        W = (rng.random(S.shape[:2]) > 0.2).astype(np.float32)
+        opt = mp.ConvBPDN.options(max_iter=20, rel_stop_tol=0.0, L=20.0,
+                                  backtrack="standard")
+        a = mp.ConvBPDNMask(D, S, 0.1, W=W, opt=opt, fused=False)
+        b = mp.ConvBPDNMask(D, S, 0.1, W=W, opt=opt, fused=True)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 1e-4 * np.abs(Xa).max()
+        sa, sb = a.getitstat(), b.getitstat()
+        assert np.allclose(sa.ObjFun, sb.ObjFun, rtol=1e-4)
+        assert np.allclose(sa.L, sb.L, rtol=1e-5)
+
+    def test_bb_momentum_variants(self):
+        from sporco_tpu.models import pgm as mp
+        D, S = _problem()
+        opt = mp.ConvBPDN.options(max_iter=15, rel_stop_tol=0.0, L=50.0,
+                                  stepsize="bb", momentum="linear")
+        a = mp.ConvBPDN(D, S, 0.1, opt=opt, fused=False)
+        b = mp.ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+        Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Xa - Xb).max() < 1e-3 * np.abs(Xa).max()
