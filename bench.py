@@ -180,6 +180,32 @@ def _bench_rpca():
             "time_s": round(t, 4)}
 
 
+def _bench_pgm():
+    """ConvBPDN via PGM/FISTA (BASELINE config 4's ADMM-vs-FISTA
+    comparison; fused packed-layout problem, zero FFTs per iteration)."""
+    from scipy.ndimage import gaussian_filter
+    from sporco_tpu.models import pgm as mp
+    from sporco_tpu.ops import mxufft
+    mxufft.set_precision("high")
+    rng = np.random.default_rng(0)
+    N, Nd, M = 512, 8, 64
+    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+    S = gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5.0
+    S += 0.1 * rng.standard_normal((N, N))
+    S = S.astype(np.float32)
+    opt = mp.ConvBPDN.options(max_iter=250, rel_stop_tol=0.0, L=100.0)
+    b = mp.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+    b.solve()
+    b2 = mp.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+    t0 = time.time(); b2.solve(); t = time.time() - t0
+    its = b2.getitstat(); n = len(its)
+    return {"metric": "ConvBPDN-FISTA 512x512x64 iters/s",
+            "value": round(n / t, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4),
+            "objective": round(float(its.ObjFun[-1]), 4)}
+
+
 def _bench_cdlcns():
     """Consensus dictionary learning, 40-image batch (BASELINE cfg 5)."""
     from sporco_tpu.parallel import consensus
@@ -211,7 +237,8 @@ def main():
         except Exception:
             pass
         out = {"bpdn": _bench_bpdn, "tvl2": _bench_tvl2,
-               "rpca": _bench_rpca, "cdlcns": _bench_cdlcns}[cfg]()
+               "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
+               "pgm": _bench_pgm}[cfg]()
         out.setdefault("vs_baseline", None)
         print(json.dumps(out))
         return

@@ -58,6 +58,7 @@ class _CnsConfig:
     masked: bool = False
     relax_x: float = 1.8
     relax_d: float = 1.8
+    fused_x: bool = False   # spatial-Woodbury CSC x-step (ops/fused_csc)
 
 
 def _fftaxes(cri):
@@ -115,6 +116,39 @@ def _consensus_solve(cfg, params, state, n_iter):
             ZUn = ZU + AX1 - ZYn
             ZY0, ZU0 = ZY0n, ZU0n
             ZY, ZU = ZYn, ZUn
+        elif cfg.fused_x:
+            # --- cbpdn x-step via the spatial Woodbury identity
+            # (ops/fused_csc): replaces the M-channel FFT pair with two
+            # polyphase MXU convolutions + one single-channel FFT pair.
+            # The dictionary iterate is support-limited after Pcn, so
+            # its spatial kernel is just the cropped leading block. ---
+            from sporco_tpu.ops import fused_csc as fc
+            nd0, nd1 = cfg.dsz[0], cfg.dsz[1]
+            K, M = cri.K, cri.M
+            n0, n1 = Nv
+            Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
+            kf, jf0, jf1 = fc._fwd_kernel(Dsm, nd0, nd1, fc.PS)
+            ka, ja0, ja1 = fc._adj_kernel(Dsm, nd0, nd1, fc.PS)
+            C_ = fc.PS * fc.PS * M
+            Wf_ = jnp.transpose(kf, (2, 0, 1, 3)).reshape(
+                C_, (jf0 + 1) * (jf1 + 1) * fc.PS * fc.PS)
+            Wa_ = ka.reshape((ja0 + 1) * (ja1 + 1) * fc.PS * fc.PS, C_)
+            DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=2).reshape(
+                n0, Sf.shape[-1])
+            prec = jax.lax.Precision.HIGH
+            Pyu = fc.pack_state((ZY - ZU).reshape(K, 1, M, n0, n1))
+            R = fc.poly_unpack(
+                fc._conv_fwd_mm(Pyu, Wf_, jf0, jf1, fc.PS, prec))
+            rf = sf.rfftn(R, axes=axes)
+            g = (Sf.reshape(K, n0, -1) - rf) / (DHD[None] + rho_x)
+            G = sf.irfftn(g, s=Nv, axes=axes)
+            Zxp = Pyu + fc._conv_adj_mm(fc.poly_pack(G), Wa_, ja0, ja1,
+                                        prec)
+            Zx = fc.unpack_state(Zxp, M).reshape(ZY.shape)
+            AX = ax_ * Zx + (1 - ax_) * ZY
+            ZYn = sp.prox_l1(AX + ZU, (lmbda / rho_x) * params["wl1"])
+            ZU = ZU + AX - ZYn
+            ZY = ZYn
         else:
             # --- cbpdn x/relax/y/u steps (prlcnscdl.py:152-196) ---
             b = DSf + rho_x * sf.rfftn(ZY - ZU, axes=axes)
@@ -184,7 +218,7 @@ class ConvBPDNDictLearn_Consensus:
     def __init__(self, D0, S, lmbda, W=None, opt=None, max_iter=100,
                  dimK=None, dimN=2, zero_mean=False, rho_x=None,
                  rho_d=None, relax=1.8, wl1=1.0, mesh=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, fused="auto"):
         self.timer = Timer(["init", "solve"])
         self.timer.start("init")
         D0 = jnp.asarray(D0, dtype)
@@ -201,9 +235,15 @@ class ConvBPDNDictLearn_Consensus:
                                Nv=cri.Nv, dsz=tuple(dsz[:dimN]))
         D0i = cr.Pcn(cr.to_internal_D(D0, csc_like), tuple(dsz),
                      cri.Nv, dimN=dimN, zm=zero_mean)
+        fx = (fused is not False and not self.MASKED and cri.Cd == 1
+              and cri.C == 1 and cri.dimN == 2
+              and all(n % 8 == 0 for n in cri.Nv)
+              and cri.Nv[-1] % 2 == 0
+              and dsz[0] <= 24 and dsz[1] <= 24
+              and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
         self.cfg = _CnsConfig(cri=cri, dsz=tuple(dsz),
                               zero_mean=zero_mean, masked=self.MASKED,
-                              relax_x=relax, relax_d=relax)
+                              relax_x=relax, relax_d=relax, fused_x=fx)
         wl1a = jnp.asarray(wl1, dtype)
         if wl1a.ndim > 0:
             wl1a = cr.l1_weight(wl1a, csc_like)

@@ -86,6 +86,17 @@ class TestConsensusCDL:
         # both in the same ballpark of objective decrease
         assert obj_cns < its["XObjFun"][0]
 
+    def test_fused_xstep_matches_standard(self):
+        a = consensus.ConvBPDNDictLearn_Consensus(
+            self.Dinit, self.S, lmbda=0.05, max_iter=15, fused=False)
+        b = consensus.ConvBPDNDictLearn_Consensus(
+            self.Dinit, self.S, lmbda=0.05, max_iter=15, fused=True)
+        assert not a.cfg.fused_x and b.cfg.fused_x
+        Da, Db = np.asarray(a.solve()), np.asarray(b.solve())
+        assert np.abs(Da - Db).max() < 1e-4 * np.abs(Da).max()
+        oa, ob = a.evaluate(), b.evaluate()
+        assert abs(oa[0] - ob[0]) < 1e-3 * abs(oa[0])
+
     def test_masked_consensus(self):
         W = (self.rng.random(self.S.shape) > 0.2).astype(np.float64)
         d = consensus.ConvBPDNMaskDcplDictLearn_Consensus(
