@@ -8,6 +8,15 @@ compares iteration throughput against the reference implementation
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The default invocation is budgeted for an unattended driver run: the
+TPU measurement is taken with a warm persistent compile cache
+(``.jax_cache_tpu``, committed to the repo) and the CPU reference
+number is read from the committed ``bench_ref.json`` rather than
+re-measured (the reference implementation needs ~2 s/iteration on this
+host, so measuring it inline would dominate the budget).  Refresh it
+with ``python bench.py cpuref``; run ``python bench.py all`` for all
+five BASELINE configs plus a FLOPs/MFU estimate.
 """
 
 import json
@@ -17,17 +26,50 @@ import time
 
 import numpy as np
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REF_FILE = os.path.join(_HERE, "bench_ref.json")
+
+
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:
+        pass
+
+
+def _headline_problem():
+    rng = np.random.default_rng(0)
+    N, Nd, M = 512, 8, 64
+    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+    # natural-image-like signal: smooth background + sparse detail
+    from scipy.ndimage import gaussian_filter
+    S = gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5.0
+    S += 0.1 * rng.standard_normal((N, N))
+    return D, S.astype(np.float32), 0.05
+
+
+# FLOPs per fused ConvBPDN iteration (see ops/fused_csc.py): two dense
+# polyphase matmuls (forward D*yu and adjoint D^H G), one
+# single-channel rfft2 pair, and ~14 elementwise passes over the
+# (N/8, N/8, 64*M) state.
+def _cbpdn_fused_flops(N, M, nd, ps=8):
+    pos = (N // ps) * (N // ps)
+    C = ps * ps * M
+    taps = 4                       # (J0+1)(J1+1) with J=1 for nd<=ps+1
+    mm = 2 * 2 * pos * C * (taps * ps * ps)      # fwd + adj matmuls
+    fft = 2 * 5 * N * N * np.log2(N * N)         # rfft2 + irfft2
+    elem = 14 * pos * C
+    return mm + fft + elem
+
 
 def _tpu_run(D, S, lmbda, max_iter):
     import jax
-    import jax.numpy as jnp
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__),
-                                       ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    _enable_compile_cache()
     from sporco_tpu.models import cbpdn
     from sporco_tpu.ops import mxufft
 
@@ -42,26 +84,39 @@ def _tpu_run(D, S, lmbda, max_iter):
     t0 = time.time()
     b.solve()
     compile_and_solve = time.time() - t0
-    n_warm = len(b.getitstat())
 
-    # timed run (cached compile)
-    b2 = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
-    t0 = time.time()
-    b2.solve()
-    t_solve = time.time() - t0
+    # timed runs (cached compile); best-of-3 to damp backend jitter
+    t_solve = float("inf")
+    for _ in range(3):
+        b2 = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+        t0 = time.time()
+        b2.solve()
+        t_solve = min(t_solve, time.time() - t0)
     its = b2.getitstat()
     n = len(its)
+    ips = n / t_solve
+    flops = _cbpdn_fused_flops(512, 64, 8)
     return {
         "iters": n,
         "time_s": t_solve,
-        "iters_per_s": n / t_solve,
+        "iters_per_s": ips,
         "compile_s": compile_and_solve - t_solve,
         "final_primal_rsdl": float(its.PrimalRsdl[-1]),
         "final_dual_rsdl": float(its.DualRsdl[-1]),
         "objective": float(its.ObjFun[-1]),
         "fft_precision": mxufft.get_precision(),
-        "device": str(__import__("jax").devices()[0]),
+        "device": str(jax.devices()[0]),
+        "tflops_per_s": round(ips * flops / 1e12, 2),
+        "pct_bf16_peak": round(100 * ips * flops / 1e12 / 197.0, 2),
     }
+
+
+def _load_ref():
+    try:
+        with open(_REF_FILE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
 
 
 def _cpu_reference_iters_per_s(D, S, lmbda, n_iter=5):
@@ -122,9 +177,23 @@ def with_metaclass(meta, *bases):
 ''')
 
 
+def _refresh_cpuref():
+    """Measure the reference CPU implementation and store the result in
+    the committed ``bench_ref.json``."""
+    D, S, lmbda = _headline_problem()
+    _ensure_shims()
+    ips = _cpu_reference_iters_per_s(D, S, lmbda, n_iter=5)
+    ref = _load_ref()
+    ref["cpu_reference_iters_per_s"] = ips
+    ref["config"] = "ConvBPDN 512x512x64, numpy FFT, reference sporco"
+    ref["measured_at"] = time.strftime("%Y-%m-%d")
+    with open(_REF_FILE, "w") as f:
+        json.dump(ref, f, indent=1)
+    print(json.dumps(ref))
+
+
 def _bench_bpdn():
     """BPDN, 512-atom random dictionary (BASELINE config 1)."""
-    import jax.numpy as jnp
     from sporco_tpu.models import bpdn
     rng = np.random.default_rng(0)
     N, M = 512, 512
@@ -138,8 +207,12 @@ def _bench_bpdn():
     b2 = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
-    return {"metric": "BPDN 512x512 iters/s", "value": round(n / t, 2),
-            "unit": "iters/s", "iters": n, "time_s": round(t, 4)}
+    # x-step is one M x M triangular solve pair + matvec per iteration
+    flops = 2 * M * M * (2 + 1)
+    ips = n / t
+    return {"metric": "BPDN 512x512 iters/s", "value": round(ips, 2),
+            "unit": "iters/s", "iters": n, "time_s": round(t, 4),
+            "tflops_per_s": round(ips * flops / 1e12, 4)}
 
 
 def _bench_tvl2():
@@ -156,9 +229,13 @@ def _bench_tvl2():
     b2 = tv.TVL2Denoise(S, 0.05, opt=opt)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
+    # Jacobi sweeps + grad/gradT stencils: ~30 passes over N^2
+    flops = 30 * N * N
+    ips = n / t
     return {"metric": "TVL2Denoise 256x256 iters/s",
-            "value": round(n / t, 2), "unit": "iters/s", "iters": n,
-            "time_s": round(t, 4)}
+            "value": round(ips, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4),
+            "tflops_per_s": round(ips * flops / 1e12, 4)}
 
 
 def _bench_rpca():
@@ -175,35 +252,34 @@ def _bench_rpca():
     b2 = rpca.RobustPCA(S, opt=opt)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
+    flops = 20 * N * N * N          # SVD dominates, ~O(20 N^3)
+    ips = n / t
     return {"metric": "RobustPCA 512x512 iters/s",
-            "value": round(n / t, 2), "unit": "iters/s", "iters": n,
-            "time_s": round(t, 4)}
+            "value": round(ips, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4),
+            "tflops_per_s": round(ips * flops / 1e12, 3)}
 
 
 def _bench_pgm():
     """ConvBPDN via PGM/FISTA (BASELINE config 4's ADMM-vs-FISTA
     comparison; fused packed-layout problem, zero FFTs per iteration)."""
-    from scipy.ndimage import gaussian_filter
     from sporco_tpu.models import pgm as mp
     from sporco_tpu.ops import mxufft
     mxufft.set_precision("high")
-    rng = np.random.default_rng(0)
-    N, Nd, M = 512, 8, 64
-    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
-    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
-    S = gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5.0
-    S += 0.1 * rng.standard_normal((N, N))
-    S = S.astype(np.float32)
+    D, S, lmbda = _headline_problem()
     opt = mp.ConvBPDN.options(max_iter=250, rel_stop_tol=0.0, L=100.0)
-    b = mp.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+    b = mp.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
     b.solve()
-    b2 = mp.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+    b2 = mp.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     its = b2.getitstat(); n = len(its)
+    flops = _cbpdn_fused_flops(512, 64, 8)
+    ips = n / t
     return {"metric": "ConvBPDN-FISTA 512x512x64 iters/s",
-            "value": round(n / t, 2), "unit": "iters/s", "iters": n,
+            "value": round(ips, 2), "unit": "iters/s", "iters": n,
             "time_s": round(t, 4),
-            "objective": round(float(its.ObjFun[-1]), 4)}
+            "objective": round(float(its.ObjFun[-1]), 4),
+            "tflops_per_s": round(ips * flops / 1e12, 2)}
 
 
 def _bench_cdlcns():
@@ -220,22 +296,45 @@ def _bench_cdlcns():
     d2 = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
                                                max_iter=50)
     t0 = time.time(); d2.solve(); t = time.time() - t0
+    flops = K * (_cbpdn_fused_flops(N, M, Nd) + 8 * N * N * M)
+    ips = 50 / t
     return {"metric": "Consensus CDL 128x128x40 outer iters/s",
-            "value": round(50 / t, 2), "unit": "iters/s",
+            "value": round(ips, 2), "unit": "iters/s",
             "time_s": round(t, 4),
-            "n_devices": jax.device_count()}
+            "n_devices": jax.device_count(),
+            "tflops_per_s": round(ips * flops / 1e12, 2)}
+
+
+def _run_all():
+    """All five BASELINE configs; one JSON line each, plus a combined
+    record written to bench_all.json."""
+    _enable_compile_cache()
+    results = []
+    for name, fn in [("bpdn", _bench_bpdn), ("tvl2", _bench_tvl2),
+                     ("rpca", _bench_rpca), ("pgm", _bench_pgm),
+                     ("cdlcns", _bench_cdlcns)]:
+        out = fn()
+        out.setdefault("vs_baseline", None)
+        print(json.dumps(out), flush=True)
+        results.append(out)
+    D, S, lmbda = _headline_problem()
+    res = _tpu_run(D, S, lmbda, max_iter=500)
+    res["metric"] = "ConvBPDN 512x512x64 ADMM iters/s per chip"
+    print(json.dumps(res), flush=True)
+    results.append(res)
+    with open(os.path.join(_HERE, "bench_all.json"), "w") as f:
+        json.dump({"measured_at": time.strftime("%Y-%m-%d"),
+                   "results": results}, f, indent=1)
 
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] != "cbpdn":
         cfg = sys.argv[1]
-        try:
-            import jax
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.join(os.path.dirname(__file__),
-                                           ".jax_cache"))
-        except Exception:
-            pass
+        if cfg == "cpuref":
+            return _refresh_cpuref()
+        if cfg == "all":
+            return _run_all()
+        _enable_compile_cache()
         out = {"bpdn": _bench_bpdn, "tvl2": _bench_tvl2,
                "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
                "pgm": _bench_pgm}[cfg]()
@@ -243,28 +342,18 @@ def main():
         print(json.dumps(out))
         return
 
-    rng = np.random.default_rng(0)
-    N, Nd, M = 512, 8, 64
-    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
-    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
-    # natural-image-like signal: smooth background + sparse detail
-    from scipy.ndimage import gaussian_filter
-    S = gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5.0
-    S += 0.1 * rng.standard_normal((N, N))
-    S = S.astype(np.float32)
-    lmbda = 0.05
-
+    D, S, lmbda = _headline_problem()
     res = _tpu_run(D, S, lmbda, max_iter=500)
 
-    vs_baseline = None
-    try:
-        _ensure_shims()
-        cpu_ips = _cpu_reference_iters_per_s(D, S, lmbda, n_iter=5)
-        if cpu_ips:
-            vs_baseline = res["iters_per_s"] / cpu_ips
-            res["cpu_reference_iters_per_s"] = cpu_ips
-    except Exception as e:
-        res["baseline_error"] = str(e)[:200]
+    # vs_baseline from the committed CPU-reference measurement (refresh
+    # with `python bench.py cpuref`); measuring the reference inline
+    # (~2 s/iter) would not fit an unattended driver budget.
+    ref = _load_ref()
+    cpu_ips = ref.get("cpu_reference_iters_per_s")
+    vs_baseline = res["iters_per_s"] / cpu_ips if cpu_ips else None
+    if cpu_ips:
+        res["cpu_reference_iters_per_s"] = cpu_ips
+        res["cpu_reference_measured_at"] = ref.get("measured_at")
 
     out = {
         "metric": "ConvBPDN 512x512x64 ADMM iters/s per chip "
@@ -275,7 +364,7 @@ def main():
     }
     out.update({k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in res.items()})
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
