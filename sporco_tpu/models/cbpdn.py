@@ -348,10 +348,11 @@ class ConvBPDN(ADMMModel):
         self._init_done()
 
     def solve(self):
-        """Run (or resume) the solve; routes through the fused Pallas
-        iteration kernels (:mod:`sporco_tpu.ops.fused_csc`, the
-        ``sporco.cuda.cbpdn`` analogue) when the configuration is
-        eligible, else the generic jitted driver."""
+        """Run (or resume) the solve; routes through the fused
+        spatial-Woodbury driver (:mod:`sporco_tpu.ops.fused_csc`, the
+        ``sporco.cuda.cbpdn`` analogue: XLA convolutions/einsums in a
+        packed polyphase layout inside one ``lax.while_loop``) when the
+        configuration is eligible, else the generic jitted driver."""
         from sporco_tpu.ops import fused_csc
         use_fused = self._fused is not False and fused_csc.eligible(
             self.cfg, self.params, self.opts,

@@ -49,10 +49,12 @@ from jax import lax
 from sporco_tpu.ops import fft as sf
 from sporco_tpu.solvers.admm import ADMMState, _update_rho
 
-__all__ = ["cbpdn_solve", "eligible"]
+__all__ = ["cbpdn_solve", "eligible", "consensus_eligible",
+           "xstep_kernels", "spatial_xstep"]
 
-PS = 8          # polyphase factor (spatial fold per axis)
-UNROLL = 4      # iterations per while_loop step (overhead amortisation)
+PS = 8            # polyphase factor (spatial fold per axis)
+UNROLL = 4        # iterations per while_loop step (overhead amortisation)
+MAX_SUPPORT = 24  # largest filter support the spatial form beats FFT at
 
 
 # ---------------------------------------------------------------------------
@@ -206,30 +208,117 @@ def _conv_adj_mm(Gp, Wa, J0, J1, prec):
 
 
 # ---------------------------------------------------------------------------
+# Shared x-step building blocks (used by this driver, the fused PGM
+# problem below, and the sharded consensus-CDL loop in
+# parallel/consensus.py -- one implementation, no drift)
+
+def xstep_kernels(Dsm, nd0, nd1, ps=PS):
+    """Packed single-matmul weights for the spatial-Woodbury x-step.
+
+    ``Dsm`` is the spatial dictionary block ``(M, nd0, nd1)``.  Returns
+    ``(Wf, Wa, (jf0, jf1, ja0, ja1))``: the forward/adjoint polyphase
+    matmul weights and their circular-roll tap radii.
+    """
+    M = Dsm.shape[0]
+    kf, jf0, jf1 = _fwd_kernel(Dsm, nd0, nd1, ps)
+    ka, ja0, ja1 = _adj_kernel(Dsm, nd0, nd1, ps)
+    C = ps * ps * M
+    Wf = jnp.transpose(kf, (2, 0, 1, 3)).reshape(
+        C, (jf0 + 1) * (jf1 + 1) * ps * ps)
+    Wa = ka.reshape((ja0 + 1) * (ja1 + 1) * ps * ps, C)
+    return Wf, Wa, (jf0, jf1, ja0, ja1)
+
+
+def spatial_xstep(Pyu, Wf, Wa, js, DHD, sfr, sfi, beta, scale, Nv,
+                  prec=lax.Precision.HIGH):
+    """The spatial-Woodbury CSC x-step in the packed polyphase layout.
+
+    Solves ``(beta I + D^H D) x = beta yu + D^H s`` (the ConvBPDN
+    x-step, ``sporco/admm/cbpdn.py:267-293``; ``scale = rho/beta``
+    handles the elastic-net variant) as::
+
+        x = scale * yu + D^H irfft((Sf - scale * rfft(D yu)) / (DHD + beta))
+
+    Returns ``(PX, rfr, rfi, gr, gi)``; the spectral intermediates make
+    the data-fidelity term free for callers that report it
+    (``DXf - Sf = scale*rf + DHD*g - Sf``).
+    """
+    jf0, jf1, ja0, ja1 = js
+    axes = (-2, -1)
+    R = poly_unpack(_conv_fwd_mm(Pyu, Wf, jf0, jf1, PS, prec))
+    rf = sf.rfftn(R, axes=axes)
+    rfr, rfi = scale * jnp.real(rf), scale * jnp.imag(rf)
+    den = 1.0 / (DHD[None] + beta)
+    gr = (sfr - rfr) * den
+    gi = (sfi - rfi) * den
+    G = sf.irfftn(gr + 1j * gi, s=Nv, axes=axes)
+    PX = scale * Pyu + _conv_adj_mm(poly_pack(G), Wa, ja0, ja1, prec)
+    return PX, rfr, rfi, gr, gi
+
+
+# ---------------------------------------------------------------------------
 # Eligibility
 
-def eligible(cfg, params, opts, force=False):
-    """Whether the fused spatial driver handles this ConvBPDN
-    configuration: single-channel 2D real l1/elastic CSC (optionally
-    weighted, non-negative, or AMS-masked -- the scope of the
-    reference's native CUDA ``cbpdn``/``cbpdnmsk`` solvers)."""
-    cri = cfg.cri
-    if not (cfg.real and cfg.variant in ("l1", "elastic")
-            and cri.dimN == 2 and cri.Cd == 1 and cri.C == 1
-            and not cfg.no_bndry and not cfg.lin_check
-            and cfg.obj_from_x and cfg.ams_nimp in (0, 1)):
+def _layout_ok(cri, nd0, nd1, dtype, force=False):
+    """Structural layout constraints shared by every fused entry point:
+    2D, single-channel, PS-aligned even spatial dims, f32.  The
+    small-support heuristic (``MAX_SUPPORT``: beyond ~24^2 supports the
+    O(N^2 M nd^2) spatial form loses to the FFT path) is a performance
+    choice only and can be bypassed with ``force``."""
+    if not (cri.dimN == 2 and cri.Cd == 1 and cri.C == 1):
         return False
-    if jnp.dtype(opts.dtype) != jnp.dtype(jnp.float32):
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
     n0, n1 = cri.Nv
     if n0 % PS != 0 or n1 % PS != 0 or n1 % 2 != 0:
         return False
-    # small-support dictionaries only: the spatial form costs
-    # O(N^2 M nd^2); beyond ~24^2 supports the FFT path wins
-    nd0, nd1 = cri.dsz[0], cri.dsz[1]
-    if nd0 > 24 or nd1 > 24:
+    if not force and (nd0 > MAX_SUPPORT or nd1 > MAX_SUPPORT):
         return False
     return True
+
+
+def eligible(cfg, params, opts, force=False):
+    """Whether the fused spatial driver handles this ConvBPDN
+    configuration: single-channel 2D real l1/elastic/gradreg CSC
+    (optionally weighted, non-negative, or AMS-masked -- the scope of
+    the reference's native CUDA ``cbpdn``/``cbpdngrd``/``cbpdnmsk``/
+    ``cbpdngrdmsk`` solvers).
+
+    With ``force=True`` (from ``ConvBPDN(..., fused=True)``) the
+    small-support performance heuristic is bypassed, and a structurally
+    unsupported configuration raises instead of silently falling back.
+    """
+    cri = cfg.cri
+    structural = (cfg.real and cfg.variant in ("l1", "elastic", "gradreg")
+                  and not cfg.no_bndry and not cfg.lin_check
+                  and cfg.obj_from_x and cfg.ams_nimp in (0, 1)
+                  and _layout_ok(cri, cri.dsz[0], cri.dsz[1],
+                                 opts.dtype, force=force))
+    if structural and cfg.variant == "gradreg":
+        # per-bin solve supports scalar or per-filter gradient weights
+        # only (the reference's GradWeight w_m, sporco/admm/cbpdn.py:
+        # 1064-1143; spatially-varying weights do not exist there)
+        w = jnp.asarray(params["wgrd"])
+        structural = (w.ndim == 0
+                      or all(d == 1 for i, d in enumerate(w.shape)
+                             if i != 2))
+    if not structural:
+        if force:
+            raise ValueError(
+                "fused=True requested, but this ConvBPDN configuration "
+                "is not supported by the fused spatial driver (needs "
+                "real single-channel 2D l1/elastic/gradreg CSC, "
+                f"PS={PS}-aligned even spatial dims, float32)")
+        return False
+    return True
+
+
+def consensus_eligible(cri, dsz, dtype, masked):
+    """Whether the sharded consensus-CDL loop may use the fused
+    spatial x-step for its CSC stage (parallel/consensus.py); derives
+    every constraint from this module's constants."""
+    return (not masked
+            and _layout_ok(cri, dsz[0], dsz[1], dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +337,8 @@ def _cbpdn_fused_run(cfg, opts, params, state):
     ar = opts.auto_rho
     rlx = opts.relax_param
     lmbda = params["lmbda"]
-    mu = params["mu"] if cfg.variant == "elastic" else None
+    mu = (params["mu"] if cfg.variant in ("elastic", "gradreg")
+          else None)
     prec = lax.Precision.HIGH
 
     # l1 weights in the packed layout: scalar, per-filter channel
@@ -281,13 +371,19 @@ def _cbpdn_fused_run(cfg, opts, params, state):
     DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=0)        # (n0, k1)
     Sf = sf.rfftn(S, axes=axes)                            # (K, n0, k1)
     sfr, sfi = jnp.real(Sf), jnp.imag(Sf)
-    kfwd, jf0, jf1 = _fwd_kernel(D, nd0, nd1, PS)
-    kadj, ja0, ja1 = _adj_kernel(D, nd0, nd1, PS)
-    Tf = (jf0 + 1) * (jf1 + 1)
-    C = PS * PS * M
-    # single-matmul weight layouts (see _conv_fwd_mm/_conv_adj_mm)
-    Wf = jnp.transpose(kfwd, (2, 0, 1, 3)).reshape(C, Tf * PS * PS)
-    Wa = kadj.reshape((ja0 + 1) * (ja1 + 1) * PS * PS, C)
+    if cfg.variant == "gradreg":
+        # per-bin diagonal (sporco/admm/cbpdn.py:1173-1201): the
+        # identity's I-part becomes bin-dependent, so the x-step runs
+        # per-bin on the M-channel half-spectrum (see body)
+        from sporco_tpu.utils.signal import gradient_filters
+        _, GHGf = gradient_filters(2, cri.Nv, dtype=S.dtype)
+        wg = params["wgrd"]
+        GHGfW = (wg * GHGf if jnp.ndim(wg) == 0
+                 else wg.reshape(-1, 1, 1) * GHGf)
+        Wf = Wa = None
+        js = (0, 0, 0, 0)
+    else:
+        Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
 
     k0 = state.k
     nc = math.sqrt(K * M * n0 * n1)
@@ -310,26 +406,40 @@ def _cbpdn_fused_run(cfg, opts, params, state):
         PY = st.Y
         PU = us * st.U
         rho = st.rho
-        # ---- x-step (spatial Woodbury; == solvedbi_sm of the FFT path)
-        # elastic-net adds (mu/2)||x||^2: the system matrix becomes
-        # (rho+mu)I + D^H D, so with beta = rho+mu the same identity
-        # holds with yu scaled by rho/beta (sporco/admm/cbpdn.py:948-975)
-        if mu is None:
-            beta, scale = rho, 1.0
-        else:
-            beta = rho + mu
-            scale = rho / beta
         Pyu = PY - PU
-        Rp = _conv_fwd_mm(Pyu, Wf, jf0, jf1, PS, prec)
-        R = poly_unpack(Rp)                                # (K, n0, n1)
-        rf = sf.rfftn(R, axes=axes)
-        rfr, rfi = scale * jnp.real(rf), scale * jnp.imag(rf)
-        den = 1.0 / (DHD[None] + beta)
-        gr = (sfr - rfr) * den
-        gi = (sfi - rfi) * den
-        G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
-        Gp = poly_pack(G)                                  # (K,p0,p1,64)
-        PX = scale * Pyu + _conv_adj_mm(Gp, Wa, ja0, ja1, prec)
+        if cfg.variant == "gradreg":
+            # ---- x-step with per-bin diagonal Lam = rho + mu w GHGf
+            # (== solvedbd_sm of the FFT path): the rank-1 Woodbury
+            # still applies per bin, but the diagonal inverse acts on
+            # the full M-channel half-spectrum, so this variant pays
+            # the M-channel DFT pair the spatial form otherwise
+            # eliminates; the prox/dual/residual tail stays packed.
+            yu = unpack_state(Pyu, M).reshape(K, M, n0, n1)
+            yuf = sf.rfftn(yu, axes=axes)                 # (K,M,n0,k1)
+            Lam = rho + mu * GHGfW
+            e = 1.0 / Lam
+            bg = rho * yuf + jnp.conj(Df)[None] * Sf[:, None]
+            tg = e * bg
+            alpha = jnp.sum(Df[None] * tg, axis=1)        # (K,n0,k1)
+            betaS = jnp.sum((Df * jnp.conj(Df)).real * e, axis=-3)
+            Xfg = tg - (alpha / (1.0 + betaS))[:, None] \
+                * (e * jnp.conj(Df)[None])
+            Xg = sf.irfftn(Xfg, s=cri.Nv, axes=axes)
+            PX = pack_state(Xg.reshape(K, 1, M, n0, n1))
+        else:
+            # ---- x-step (spatial Woodbury; == solvedbi_sm of the FFT
+            # path).  elastic-net adds (mu/2)||x||^2: the system matrix
+            # becomes (rho+mu)I + D^H D, so with beta = rho+mu the same
+            # identity holds with yu scaled by rho/beta
+            # (sporco/admm/cbpdn.py:948-975)
+            if mu is None:
+                beta, scale = rho, 1.0
+            else:
+                beta = rho + mu
+                scale = rho / beta
+            PX, rfr, rfi, gr, gi = spatial_xstep(
+                Pyu, Wf, Wa, js, DHD, sfr, sfi, beta, scale, cri.Nv,
+                prec)
 
         # ---- relax, prox y-step, dual update (elementwise, layout-free)
         AX = rlx * PX + (1.0 - rlx) * PY
@@ -367,16 +477,26 @@ def _cbpdn_fused_run(cfg, opts, params, state):
         if opts.fast_solve:
             objv = (jnp.nan,) * nobj
         else:
-            er = rfr + DHD[None] * gr - sfr
-            ei = rfi + DHD[None] * gi - sfi
-            dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
             rl1 = jnp.sum(jnp.abs(wl1p * PX))
-            if mu is None:
-                objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
-            else:
-                rl2 = 0.5 * jnp.sum(PX ** 2)
-                objv = (dfd + lmbda * rl1 + mu * rl2, dfd, rl1, rl2,
+            if cfg.variant == "gradreg":
+                DXf = jnp.sum(Df[None] * Xfg, axis=1)
+                er = jnp.real(DXf) - sfr
+                ei = jnp.imag(DXf) - sfi
+                dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
+                sqg = (Xfg * jnp.conj(Xfg)).real * GHGfW
+                rgr = 0.5 * _rfl2norm2_sq(sqg, n1)
+                objv = (dfd + lmbda * rl1 + mu * rgr, dfd, rl1, rgr,
                         jnp.nan)
+            else:
+                er = rfr + DHD[None] * gr - sfr
+                ei = rfi + DHD[None] * gi - sfi
+                dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
+                if mu is None:
+                    objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
+                else:
+                    rl2 = 0.5 * jnp.sum(PX ** 2)
+                    objv = (dfd + lmbda * rl1 + mu * rl2, dfd, rl1,
+                            rl2, jnp.nan)
 
         row_idx = st.k - k0
         row = jnp.stack([jnp.float32(st.k)]
@@ -421,18 +541,24 @@ def _cbpdn_fused_run(cfg, opts, params, state):
                         U=(usf * unpack_state(stf.U, M)).reshape(shp))
 
 
-def _rfl2norm2_planar(er, ei, n1):
-    """Parseval-corrected squared l2 norm of an rfft half-spectrum given
-    planar parts (cf. ``sporco/fft.py:449-484``): double all bins except
-    the first (and, for even n1, the last) column, divide by n0*n1."""
-    k1 = er.shape[-1]
-    sq = er * er + ei * ei
+def _rfl2norm2_sq(sq, n1):
+    """Parseval correction given per-bin squared magnitudes ``sq`` of an
+    rfft half-spectrum (cf. ``sporco/fft.py:449-484``): double all bins
+    except the first (and, for even n1, the last) column, divide by
+    n0*n1."""
+    k1 = sq.shape[-1]
     total = 2.0 * jnp.sum(sq)
     edge = jnp.sum(sq[..., 0])
     if n1 % 2 == 0:
         edge = edge + jnp.sum(sq[..., k1 - 1])
-    n = er.shape[-2] * n1
+    n = sq.shape[-2] * n1
     return (total - edge) / n
+
+
+def _rfl2norm2_planar(er, ei, n1):
+    """Parseval-corrected squared l2 norm of an rfft half-spectrum given
+    planar real/imaginary parts."""
+    return _rfl2norm2_sq(er * er + ei * ei, n1)
 
 
 def cbpdn_solve(cfg, params, opts, state):

@@ -118,32 +118,24 @@ def _consensus_solve(cfg, params, state, n_iter):
             ZY, ZU = ZYn, ZUn
         elif cfg.fused_x:
             # --- cbpdn x-step via the spatial Woodbury identity
-            # (ops/fused_csc): replaces the M-channel FFT pair with two
-            # polyphase MXU convolutions + one single-channel FFT pair.
-            # The dictionary iterate is support-limited after Pcn, so
-            # its spatial kernel is just the cropped leading block. ---
+            # (ops/fused_csc.spatial_xstep): replaces the M-channel FFT
+            # pair with two polyphase MXU matmuls + one single-channel
+            # FFT pair.  The dictionary iterate is support-limited
+            # after Pcn, so its spatial kernel is just the cropped
+            # leading block. ---
             from sporco_tpu.ops import fused_csc as fc
             nd0, nd1 = cfg.dsz[0], cfg.dsz[1]
             K, M = cri.K, cri.M
             n0, n1 = Nv
             Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
-            kf, jf0, jf1 = fc._fwd_kernel(Dsm, nd0, nd1, fc.PS)
-            ka, ja0, ja1 = fc._adj_kernel(Dsm, nd0, nd1, fc.PS)
-            C_ = fc.PS * fc.PS * M
-            Wf_ = jnp.transpose(kf, (2, 0, 1, 3)).reshape(
-                C_, (jf0 + 1) * (jf1 + 1) * fc.PS * fc.PS)
-            Wa_ = ka.reshape((ja0 + 1) * (ja1 + 1) * fc.PS * fc.PS, C_)
+            Wf_, Wa_, js_ = fc.xstep_kernels(Dsm, nd0, nd1)
             DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=2).reshape(
                 n0, Sf.shape[-1])
-            prec = jax.lax.Precision.HIGH
+            Sf2 = Sf.reshape(K, n0, -1)
             Pyu = fc.pack_state((ZY - ZU).reshape(K, 1, M, n0, n1))
-            R = fc.poly_unpack(
-                fc._conv_fwd_mm(Pyu, Wf_, jf0, jf1, fc.PS, prec))
-            rf = sf.rfftn(R, axes=axes)
-            g = (Sf.reshape(K, n0, -1) - rf) / (DHD[None] + rho_x)
-            G = sf.irfftn(g, s=Nv, axes=axes)
-            Zxp = Pyu + fc._conv_adj_mm(fc.poly_pack(G), Wa_, ja0, ja1,
-                                        prec)
+            Zxp, _, _, _, _ = fc.spatial_xstep(
+                Pyu, Wf_, Wa_, js_, DHD, jnp.real(Sf2), jnp.imag(Sf2),
+                rho_x, 1.0, Nv)
             Zx = fc.unpack_state(Zxp, M).reshape(ZY.shape)
             AX = ax_ * Zx + (1 - ax_) * ZY
             ZYn = sp.prox_l1(AX + ZU, (lmbda / rho_x) * params["wl1"])
@@ -218,29 +210,51 @@ class ConvBPDNDictLearn_Consensus:
     def __init__(self, D0, S, lmbda, W=None, opt=None, max_iter=100,
                  dimK=None, dimN=2, zero_mean=False, rho_x=None,
                  rho_d=None, relax=1.8, wl1=1.0, mesh=None,
-                 dtype=jnp.float32, fused="auto"):
+                 dtype=jnp.float32, fused="auto",
+                 process_local_batch=False):
         self.timer = Timer(["init", "solve"])
         self.timer.start("init")
         D0 = jnp.asarray(D0, dtype)
-        S = jnp.asarray(S, dtype)
         dsz = D0.shape
-        cri = cr.cdu_index(tuple(dsz), S.shape, dimK=dimK, dimN=dimN)
+        nproc = jax.process_count()
+        if process_local_batch and nproc > 1:
+            # multi-host: each controller passes only its own chunk of
+            # the signal batch; the global K axis is the concatenation
+            # over processes, sharded host-major over the mesh "data"
+            # axis (cf. the per-worker shared-memory K slices of
+            # sporco/dictlrn/prlcnscdl.py:69-130)
+            if mesh is None:
+                raise ValueError(
+                    "process_local_batch requires a global mesh")
+            import dataclasses as _dc
+            S_loc = jnp.asarray(S, dtype)
+            cri_loc = cr.cdu_index(tuple(dsz), S_loc.shape, dimK=dimK,
+                                   dimN=dimN)
+            if cri_loc.dimK == 0:
+                raise ValueError(
+                    "process-local batching requires an explicit K "
+                    "axis in S")
+            cri = _dc.replace(cri_loc, K=cri_loc.K * nproc)
+            Si_loc = np.asarray(cr.to_internal_S(S_loc, cri_loc))
+            Si = jax.make_array_from_process_local_data(
+                data_sharding(mesh, 0, Si_loc.ndim), Si_loc)
+        else:
+            S = jnp.asarray(S, dtype)
+            cri = cr.cdu_index(tuple(dsz), S.shape, dimK=dimK,
+                               dimN=dimN)
+            Si = cr.to_internal_S(S, cri)
         self.cri = cri
         self.max_iter = max_iter
         self.dtype = dtype
-        Si = cr.to_internal_S(S, cri)
         csc_like = cr.CSCIndex(dimN=cri.dimN, dimC=cri.dimC,
                                dimK=cri.dimK, dimCd=cri.dimCd, C=cri.C,
                                Cd=cri.Cd, Cx=cri.Cx, K=cri.K, M=cri.M,
                                Nv=cri.Nv, dsz=tuple(dsz[:dimN]))
         D0i = cr.Pcn(cr.to_internal_D(D0, csc_like), tuple(dsz),
                      cri.Nv, dimN=dimN, zm=zero_mean)
-        fx = (fused is not False and not self.MASKED and cri.Cd == 1
-              and cri.C == 1 and cri.dimN == 2
-              and all(n % 8 == 0 for n in cri.Nv)
-              and cri.Nv[-1] % 2 == 0
-              and dsz[0] <= 24 and dsz[1] <= 24
-              and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
+        from sporco_tpu.ops import fused_csc as _fc
+        fx = (fused is not False
+              and _fc.consensus_eligible(cri, dsz, dtype, self.MASKED))
         self.cfg = _CnsConfig(cri=cri, dsz=tuple(dsz),
                               zero_mean=zero_mean, masked=self.MASKED,
                               relax_x=relax, relax_d=relax, fused_x=fx)
@@ -272,20 +286,37 @@ class ConvBPDNDictLearn_Consensus:
         # dictionary is single-channel but signals are multi-channel
         Cb = cri.C if cri.Cd == 1 else cri.Cd
         shpDb = (K, Cb, M) + tuple(cri.Nv)
-        z = jnp.zeros
-        self.state = (z(shpX, dtype), z(shpX, dtype),      # ZY, ZU
-                      z(shpS, dtype), z(shpS, dtype),      # ZY0, ZU0
-                      D0i, z(shpDb, dtype))                # DY, DU
+        if mesh is None:
+            z = lambda shp: jnp.zeros(shp, dtype)
+        else:
+            # create batch state directly sharded: no host-side global
+            # materialisation, works identically under one or many
+            # controller processes
+            z = lambda shp: jnp.zeros(
+                shp, dtype, device=data_sharding(mesh, 0, len(shp)))
+        self.state = (z(shpX), z(shpX),      # ZY, ZU
+                      z(shpS), z(shpS),      # ZY0, ZU0
+                      D0i, z(shpDb))         # DY, DU
 
         # device placement: K-sharded batch arrays, replicated dict
         self.mesh = mesh
         if mesh is not None:
-            shard = lambda x: jax.device_put(
-                x, data_sharding(mesh, 0, x.ndim))
-            rep = lambda x: jax.device_put(x, replicated(mesh))
+            multi = jax.process_count() > 1
+
+            def shard(x):
+                sh = data_sharding(mesh, 0, x.ndim)
+                if isinstance(x, jax.Array) and x.sharding == sh:
+                    return x
+                # host-identical data -> global scatter (multi-process
+                # device_put requires a host array)
+                return jax.device_put(np.asarray(x) if multi else x, sh)
+
+            def rep(x):
+                return jax.device_put(np.asarray(x) if multi else x,
+                                      replicated(mesh))
+
             ZY, ZU, ZY0, ZU0, DY, DU = self.state
-            self.state = (shard(ZY), shard(ZU), shard(ZY0), shard(ZU0),
-                          rep(DY), shard(DU))
+            self.state = (ZY, ZU, ZY0, ZU0, rep(DY), DU)
             self.params = jax.tree_util.tree_map(
                 lambda x: rep(x) if x.shape[:1] != (K,) else shard(x),
                 self.params)
