@@ -11,10 +11,20 @@ TPU mapping (SURVEY.md §2.10(2)): the reference runs groups in a
 process pool over shared memory; here the group axis is a leading array
 axis -- every per-group step is one batched op, the ``y0`` coupling is
 a sum over that axis, and the whole iteration is a jitted
-``lax.while_loop``.  Sharding the group axis over a mesh "filter" axis
-turns that sum into an ICI all-reduce (the reference's only serial
-merge point).  Supports the optional fidelity mask ``W``
-(``parcbpdn.py:365-385``).
+``lax.while_loop``.  With ``mesh=``, the group axis is sharded over the
+mesh ``"filter"`` axis (model/tensor parallelism over dictionary
+filters): XLA lowers the two cross-group sums per iteration (the
+``y0`` coupling and the objective reconstruction) to ICI all-reduces --
+exactly the reference's single serial merge point per iteration.
+Supports the optional fidelity mask ``W`` (``parcbpdn.py:365-385``).
+
+Residual and stopping semantics mirror the reference exactly
+(``parcbpdn.py:318-352, 783-819``): unnormalised residuals
+``r = sqrt(sum_g ||DX_g - Y0_g||^2 + alpha^2 ||X - Y1||^2)``,
+``s = sqrt(||Y0prev - Y0||^2 + alpha^2 ||Y1prev - Y1||^2)`` (the
+reference's non-standard rho-free dual residual), tested against
+``epri/edua`` built from AbsStopTol/RelStopTol; no adaptive rho (the
+reference ships it commented out).
 """
 
 from dataclasses import dataclass
@@ -23,18 +33,20 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
 
 from sporco_tpu import cnvrep as cr
 from sporco_tpu.ops import fft as sf
 from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
-from sporco_tpu.models.common import ADMMModel
+from sporco_tpu.models.common import ADMMModel, device_sync
 from sporco_tpu.models.cbpdn import _max_abs_dhs
-from sporco_tpu.solvers.admm import ADMMOpts, AutoRhoOpts
-from sporco_tpu.utils.timer import Timer
-from sporco_tpu.models.common import device_sync
+from sporco_tpu.solvers.admm import ADMMOpts, AutoRhoOpts, IterStats
 
 __all__ = ["ParConvBPDN"]
+
+_STAT_NAMES = ("Iter", "ObjFun", "DFid", "RegL1", "PrimalRsdl",
+               "DualRsdl", "EPrimal", "EDual", "Rho")
 
 
 @dataclass(frozen=True)
@@ -45,19 +57,21 @@ class ParCfg:
     no_bndry: bool = False
     max_iter: int = 100
     rel_stop_tol: float = 1e-3
+    abs_stop_tol: float = 0.0
+    fast_solve: bool = False
 
 
 @partial(jax.jit, static_argnums=(0,))
 def _par_solve(cfg, params, state):
     cri = cfg.cri
     L = cfg.ngrp
-    Mg = cri.M // L
     axes = tuple(range(-cri.dimN, 0))
     Nv = cri.Nv
     S = params["S"]                       # (K, C, 1, Nv)
     rho = params["rho"]
     alpha = params["alpha"]
-    W2 = params["W"] ** 2
+    W = params["W"]
+    W2 = W ** 2
     inv_off_diag = -W2 / (rho * (rho + W2 * L))
     SW = W2 * S          # the reference's mp_S (parcbpdn.py:636)
     lmbda = params["lmbda"]
@@ -67,14 +81,23 @@ def _par_solve(cfg, params, state):
     Dfg = sf.rfftn(Dg, s=Nv, axes=axes)
     DHDg = jnp.sum((Dfg * jnp.conj(Dfg)).real, axis=3, keepdims=True)
 
+    k0 = state[6]
+    kmax = k0 + cfg.max_iter
+    # constraint/dual space sizes for the AbsStopTol terms
+    # (sqrt(Nc), sqrt(Nx) of parcbpdn.py:790-795)
+    nY0 = L * cri.K * cri.C * int(np.prod(Nv))
+    nY1 = L * cri.K * (cri.M // L) * int(np.prod(Nv))
+    rtNc = jnp.sqrt(jnp.float32(nY0 + nY1)).astype(S.dtype)
+    rtNx = rtNc
+
     def cond(st):
-        Y0, U0, Y1, U1, X, DX, k, r, s = st
-        return jnp.logical_and(k < cfg.max_iter,
-                               jnp.logical_or(r > cfg.rel_stop_tol,
-                                              s > cfg.rel_stop_tol))
+        k, r, s, epri, edua = st[6], st[7], st[8], st[9], st[10]
+        return jnp.logical_and(
+            k < kmax,
+            jnp.logical_not(jnp.logical_and(r <= epri, s <= edua)))
 
     def body(st):
-        Y0, U0, Y1, U1, X, DX, k, _, _ = st
+        Y0, U0, Y1, U1, X, DX, k, _, _, _, _, stats = st
         # --- x-step per group (parcbpdn.py:132-161); the AL rho
         # cancels, leaving (D_g^H D_g + alpha^2 I) ---
         YU0f = sf.rfftn(Y0 - U0, axes=axes)
@@ -91,7 +114,8 @@ def _par_solve(cfg, params, state):
         DXr = rlx * DXnew + (1 - rlx) * Y0
 
         # --- the single serial merge: coupled y0 solve
-        # (parcbpdn.py:182-205) -- a sum over the group axis ---
+        # (parcbpdn.py:182-205) -- a sum over the (sharded) group axis,
+        # lowered to an all-reduce on a mesh ---
         b0 = inv_off_diag * jnp.sum(SW + rho * (DXr + U0), axis=0,
                                     keepdims=True)
         Y0n = SW / rho + DXr + U0 + b0
@@ -112,21 +136,46 @@ def _par_solve(cfg, params, state):
         U0n = U0 + DXr - Y0n
         U1n = U1 + alpha * (Xr - Y1n)
 
-        # --- residuals (parcbpdn.py:318-352), group sums reduced ---
-        ry = jnp.sum((DXnr - Y0n) ** 2) \
-            + alpha ** 2 * jnp.sum((Xnr - Y1n) ** 2)
-        sy = jnp.sum((Y0 - Y0n) ** 2) \
-            + alpha ** 2 * jnp.sum((Y1 - Y1n) ** 2)
-        nrmAx = jnp.sqrt(jnp.sum(DXnr ** 2)
-                         + alpha ** 2 * jnp.sum(Xnr ** 2))
-        nrmBy = jnp.sqrt(jnp.sum(Y0n ** 2)
-                         + alpha ** 2 * jnp.sum(Y1n ** 2))
-        nrmu = jnp.sqrt(jnp.sum(U0n ** 2) + jnp.sum(U1n ** 2))
-        rn = jnp.maximum(jnp.maximum(nrmAx, nrmBy), 1e-8)
-        sn = jnp.maximum(nrmu, 1e-8)
-        r = jnp.sqrt(ry) / rn
-        s = jnp.sqrt(sy) / sn
-        return (Y0n, U0n, Y1n, U1n, Xnew, DXnew, k + 1, r, s)
+        # --- residuals (parcbpdn.py:318-352, 783-795): unnormalised,
+        # with epri/edua thresholds; group sums reduced ---
+        if cfg.fast_solve:
+            r = s = jnp.asarray(jnp.inf, S.dtype)
+            epri = edua = jnp.asarray(0.0, S.dtype)
+        else:
+            ry = jnp.sum((DXnr - Y0n) ** 2) \
+                + alpha ** 2 * jnp.sum((Xnr - Y1n) ** 2)
+            sy = jnp.sum((Y0 - Y0n) ** 2) \
+                + alpha ** 2 * jnp.sum((Y1 - Y1n) ** 2)
+            nrmAx = jnp.sqrt(jnp.sum(DXnr ** 2)
+                             + alpha ** 2 * jnp.sum(Xnr ** 2))
+            nrmBy = jnp.sqrt(jnp.sum(Y0n ** 2)
+                             + alpha ** 2 * jnp.sum(Y1n ** 2))
+            nrmu = jnp.sqrt(jnp.sum(U0n ** 2) + jnp.sum(U1n ** 2))
+            r = jnp.sqrt(ry)
+            s = jnp.sqrt(sy)
+            epri = rtNc * cfg.abs_stop_tol \
+                + jnp.maximum(nrmAx, nrmBy) * cfg.rel_stop_tol
+            edua = rtNx * cfg.abs_stop_tol + nrmu * cfg.rel_stop_tol
+
+        # --- objective (fEvalX dfd / gEvalY reg defaults,
+        # parcbpdn.py:883-917) + stats row ---
+        if cfg.fast_solve:
+            obj = dfd = rl1 = jnp.nan
+        else:
+            DXsum = jnp.sum(DXnew, axis=0)             # all-reduce
+            dfd = 0.5 * jnp.sum((W * (DXsum - S)) ** 2)
+            rl1 = jnp.sum(jnp.abs(params["wl1"] * Y1n))
+            obj = dfd + lmbda * rl1
+        row = jnp.stack([jnp.float32(k), jnp.float32(obj),
+                         jnp.float32(dfd), jnp.float32(rl1),
+                         jnp.float32(r), jnp.float32(s),
+                         jnp.float32(epri), jnp.float32(edua),
+                         jnp.float32(rho)])
+        stats = jax.lax.dynamic_update_slice(
+            stats, row[None, :], (k - k0, jnp.zeros_like(k)))
+
+        return (Y0n, U0n, Y1n, U1n, Xnew, DXnew, k + 1, r, s, epri,
+                edua, stats)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -135,8 +184,8 @@ class ParConvBPDN(ADMMModel):
     r"""Filter-parallel CSC solver (+ optional fidelity mask).
 
     ``ngrp`` is the number of filter groups L (must divide M; it is
-    reduced to the nearest divisor otherwise).  With a mesh, shard the
-    leading group axis on the "filter" axis.
+    reduced to the nearest divisor otherwise).  With ``mesh=``, the
+    leading group axis is sharded over the mesh ``"filter"`` axis.
     """
 
     @staticmethod
@@ -147,7 +196,7 @@ class ParConvBPDN(ADMMModel):
 
     def __init__(self, D, S, lmbda=None, W=None, opt=None, ngrp=None,
                  alpha=None, dimK=None, dimN=2, wl1=1.0, non_neg=False,
-                 no_bndry=False, dtype=jnp.float32):
+                 no_bndry=False, dtype=jnp.float32, mesh=None):
         super().__init__()
         if opt is None:
             opt = self.options()
@@ -171,7 +220,9 @@ class ParConvBPDN(ADMMModel):
         Mg = cri.M // ngrp
         self.cfg = ParCfg(cri=cri, ngrp=ngrp, non_neg=non_neg,
                           no_bndry=no_bndry, max_iter=opt.max_iter,
-                          rel_stop_tol=opt.rel_stop_tol)
+                          rel_stop_tol=opt.rel_stop_tol,
+                          abs_stop_tol=opt.abs_stop_tol,
+                          fast_solve=opt.fast_solve)
         self.opts = opt.replace(dtype=dtype)
         # group the filter axis: (1, 1, M, dsz) -> (L, 1, 1, Mg, dsz)
         Dgrp = Di.reshape((1, 1, ngrp, Mg) + Di.shape[3:])
@@ -194,17 +245,36 @@ class ParConvBPDN(ADMMModel):
         L = ngrp
         shp0 = (L, cri.K, cri.C, 1) + tuple(cri.Nv)
         shp1 = (L, cri.K, 1, Mg) + tuple(cri.Nv)
-        z = jnp.zeros
-        self.state = (z(shp0, dtype), z(shp0, dtype),
-                      z(shp1, dtype), z(shp1, dtype),
-                      z(shp1, dtype), z(shp0, dtype),
+        self.mesh = mesh
+        if mesh is None:
+            z = lambda shp: jnp.zeros(shp, dtype)
+        else:
+            fsh = lambda nd: NamedSharding(
+                mesh, PartitionSpec("filter", *([None] * (nd - 1))))
+            z = lambda shp: jnp.zeros(shp, dtype,
+                                      device=fsh(len(shp)))
+            self.params["D"] = jax.device_put(self.params["D"],
+                                              fsh(Dgrp.ndim))
+        self.k_start = 0
+        self.state = (z(shp0), z(shp0),
+                      z(shp1), z(shp1),
+                      z(shp1), z(shp0),
                       jnp.asarray(0, jnp.int32),
                       jnp.asarray(jnp.inf, dtype),
-                      jnp.asarray(jnp.inf, dtype))
+                      jnp.asarray(jnp.inf, dtype),
+                      jnp.asarray(0.0, dtype),
+                      jnp.asarray(0.0, dtype),
+                      jnp.full((opt.max_iter, len(_STAT_NAMES)),
+                               jnp.nan, jnp.float32))
         self._init_done()
 
     def solve(self):
         self.timer.start("solve")
+        self.k_start = int(self.state[6])
+        # fresh stats window per solve call (re-entrant semantics)
+        self.state = self.state[:11] + (
+            jnp.full((self.cfg.max_iter, len(_STAT_NAMES)), jnp.nan,
+                     jnp.float32),)
         self.state = _par_solve(self.cfg, self.params, self.state)
         device_sync(self.state)
         self.timer.stop("solve")
@@ -222,14 +292,14 @@ class ParConvBPDN(ADMMModel):
         return cr.from_internal_X(Xi, self.cri)
 
     def getitstat(self):
-        class _S:
-            pass
-        s = _S()
-        s.Iter = np.arange(int(self.state[6]))
-        s.PrimalRsdl = np.asarray([float(self.state[7])])
-        s.DualRsdl = np.asarray([float(self.state[8])])
-        s._names = ("Iter", "PrimalRsdl", "DualRsdl")
-        return s
+        """Per-iteration statistics (standard contract: same fields as
+        the generic ADMM driver, ``sporco/admm/parcbpdn.py:798-802``)."""
+        nvalid = int(self.state[6]) - self.k_start
+        return IterStats(_STAT_NAMES, self.state[11], nvalid)
+
+    @property
+    def itstat(self):
+        return self.getitstat()
 
     def reconstruct(self, X=None):
         from sporco_tpu.models.cbpdn import _reconstruct_jit, \

@@ -186,3 +186,41 @@ class TestParConvBPDN:
                                  dtype=jnp.float64)
         X = np.asarray(b.solve())
         assert np.all(np.isfinite(X))
+
+    def test_itstat_contract(self):
+        # standard per-iteration stats contract (objective, residuals,
+        # thresholds), like every other solver in the package
+        opt = parcbpdn.ParConvBPDN.options(max_iter=20,
+                                           rel_stop_tol=1e-9)
+        b = parcbpdn.ParConvBPDN(D, S, 5e-2, opt=opt, ngrp=4,
+                                 dtype=jnp.float64)
+        b.solve()
+        its = b.getitstat()
+        assert len(its) == 20
+        assert np.all(np.isfinite(its.ObjFun))
+        # objective decreases overall and equals DFid + lmbda RegL1
+        assert its.ObjFun[-1] < its.ObjFun[0]
+        assert np.allclose(its.ObjFun, its.DFid + 5e-2 * its.RegL1,
+                           rtol=1e-6)
+        assert np.all(its.PrimalRsdl > 0) and np.all(its.DualRsdl >= 0)
+        assert np.all(its.Rho == its.Rho[0])
+
+    def test_filter_sharded_matches_single(self):
+        # the M=8 filters in 8 groups sharded over the mesh "filter"
+        # axis (8 virtual devices): identical trajectory to the
+        # single-device run, with the y0 coupling as an all-reduce
+        from sporco_tpu.parallel.mesh import make_mesh
+        opt = parcbpdn.ParConvBPDN.options(max_iter=30,
+                                           rel_stop_tol=1e-9)
+        b1 = parcbpdn.ParConvBPDN(D, S, 5e-2, opt=opt, ngrp=8,
+                                  dtype=jnp.float64)
+        X1 = np.asarray(b1.solve())
+        mesh = make_mesh(n_data=1, n_filter=8)
+        b2 = parcbpdn.ParConvBPDN(D, S, 5e-2, opt=opt, ngrp=8,
+                                  dtype=jnp.float64, mesh=mesh)
+        # the group axis really is distributed over all 8 devices
+        assert len(b2.state[2].sharding.device_set) == 8
+        X2 = np.asarray(b2.solve())
+        assert np.allclose(X1, X2, atol=1e-10)
+        assert np.allclose(b1.getitstat().ObjFun, b2.getitstat().ObjFun,
+                           rtol=1e-10)
