@@ -31,8 +31,9 @@ def main():
 
     # blur + noise (host-side numpy)
     krn = np.ones((5, 5), np.float32) / 25.0
-    Af = np.fft.rfftn(krn, s=img.shape)
-    sblr = np.fft.irfftn(Af * np.fft.rfftn(img), s=img.shape)
+    Af = np.fft.rfftn(krn, s=img.shape, axes=(0, 1))
+    sblr = np.fft.irfftn(Af * np.fft.rfftn(img), s=img.shape,
+                         axes=(0, 1))
     rng = np.random.default_rng(0)
     s = (sblr + 0.01 * rng.standard_normal(img.shape)).astype(np.float32)
 
