@@ -385,6 +385,15 @@ def _cbpdn_fused_run(cfg, opts, params, state):
     else:
         Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
 
+    # opt-in one-pass Pallas tail (relax/prox/dual/reductions); OFF by
+    # default -- XLA's fusion measured faster on v5e (see
+    # ops/pallas_csc_tail.py docstring)
+    from sporco_tpu.ops import pallas_csc_tail as ptail
+    use_ptail = (ptail.enabled
+                 and not cfg.ams_nimp and jnp.ndim(wl1p) <= 1
+                 and ptail.tail_eligible(K * (n0 // PS) * (n1 // PS),
+                                         PS * PS * M))
+
     k0 = state.k
     nc = math.sqrt(K * M * n0 * n1)
     nx = nc
@@ -404,8 +413,8 @@ def _cbpdn_fused_run(cfg, opts, params, state):
         # ``U /= rsf`` of sporco/admm/admm.py:572-573 into the adjacent
         # elementwise passes instead of a dedicated 134 MB read+write
         PY = st.Y
-        PU = us * st.U
         rho = st.rho
+        PU = us * st.U
         Pyu = PY - PU
         if cfg.variant == "gradreg":
             # ---- x-step with per-bin diagonal Lam = rho + mu w GHGf
@@ -441,23 +450,35 @@ def _cbpdn_fused_run(cfg, opts, params, state):
                 Pyu, Wf, Wa, js, DHD, sfr, sfi, beta, scale, cri.Nv,
                 prec)
 
-        # ---- relax, prox y-step, dual update (elementwise, layout-free)
-        AX = rlx * PX + (1.0 - rlx) * PY
-        AXU = AX + PU
+        # ---- relax, prox y-step, dual update, residual reductions
         thr = (lmbda / rho) * wl1p
-        PYn = jnp.sign(AXU) * jnp.maximum(jnp.abs(AXU) - thr, 0.0)
-        if cfg.non_neg:
-            PYn = jnp.maximum(PYn, 0.0)
-        if cfg.ams_nimp:
-            PYn = jnp.where(imp_sel, (1.0 - Wp) * AXU, PYn)
-        PUn = PU + AX - PYn
+        rl1_pt = None
+        if use_ptail:
+            # single fused pass: read PX/PY/U once, write PYn/PUn once
+            PYn, PUn, ts = ptail.admm_tail(PX, PY, st.U, thr, wl1p,
+                                           rlx, nonneg=cfg.non_neg,
+                                           us=us)
+            rnrm = jnp.sqrt(ts[0])
+            snrm = rho * jnp.sqrt(ts[1])
+            rn = jnp.sqrt(jnp.maximum(ts[2], ts[3]))
+            sn = rho * jnp.sqrt(ts[4])
+            rl1_pt = ts[5]
+        else:
+            AX = rlx * PX + (1.0 - rlx) * PY
+            AXU = AX + PU
+            PYn = jnp.sign(AXU) * jnp.maximum(jnp.abs(AXU) - thr, 0.0)
+            if cfg.non_neg:
+                PYn = jnp.maximum(PYn, 0.0)
+            if cfg.ams_nimp:
+                PYn = jnp.where(imp_sel, (1.0 - Wp) * AXU, PYn)
+            PUn = PU + AX - PYn
 
-        # ---- residuals (sporco/admm/admm.py:462-486, normalised form)
-        rnrm = jnp.linalg.norm((PX - PYn).ravel())
-        snrm = rho * jnp.linalg.norm((PYn - PY).ravel())
-        rn = jnp.maximum(jnp.linalg.norm(PX.ravel()),
-                         jnp.linalg.norm(PYn.ravel()))
-        sn = rho * jnp.linalg.norm(PUn.ravel())
+            # ---- residuals (sporco/admm/admm.py:462-486, normalised)
+            rnrm = jnp.linalg.norm((PX - PYn).ravel())
+            snrm = rho * jnp.linalg.norm((PYn - PY).ravel())
+            rn = jnp.maximum(jnp.linalg.norm(PX.ravel()),
+                             jnp.linalg.norm(PYn.ravel()))
+            sn = rho * jnp.linalg.norm(PUn.ravel())
         if ar.std_residuals:
             r = rnrm
             s = snrm
@@ -477,7 +498,8 @@ def _cbpdn_fused_run(cfg, opts, params, state):
         if opts.fast_solve:
             objv = (jnp.nan,) * nobj
         else:
-            rl1 = jnp.sum(jnp.abs(wl1p * PX))
+            rl1 = rl1_pt if rl1_pt is not None \
+                else jnp.sum(jnp.abs(wl1p * PX))
             if cfg.variant == "gradreg":
                 DXf = jnp.sum(Df[None] * Xfg, axis=1)
                 er = jnp.real(DXf) - sfr
@@ -494,7 +516,8 @@ def _cbpdn_fused_run(cfg, opts, params, state):
                 if mu is None:
                     objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
                 else:
-                    rl2 = 0.5 * jnp.sum(PX ** 2)
+                    rl2 = 0.5 * (ts[2] if rl1_pt is not None
+                                 else jnp.sum(PX ** 2))
                     objv = (dfd + lmbda * rl1 + mu * rl2, dfd, rl1,
                             rl2, jnp.nan)
 

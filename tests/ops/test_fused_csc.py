@@ -155,6 +155,31 @@ class TestFusedCBPDN:
         assert np.allclose(a.getitstat().ObjFun, b.getitstat().ObjFun,
                            rtol=1e-4)
 
+    def test_pallas_tail_matches_xla_tail(self):
+        # the one-pass Pallas iteration tail (relax/prox/dual/
+        # reductions) must reproduce the XLA tail's trajectory; run
+        # through the Pallas interpreter on CPU
+        from sporco_tpu.ops import pallas_csc_tail as pt
+        D, S = _problem(N=32, M=4)
+        opt = ConvBPDN.options(max_iter=12, rel_stop_tol=0.0)
+        a = ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+        Xa = np.asarray(a.solve())
+        try:
+            pt.interpret = True
+            pt.enabled = True
+            b = ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+            Xb = np.asarray(b.solve())
+        finally:
+            pt.interpret = False
+            pt.enabled = False
+        assert np.abs(Xa - Xb).max() < 1e-5 * max(np.abs(Xa).max(),
+                                                  1e-6)
+        assert np.allclose(a.getitstat().ObjFun, b.getitstat().ObjFun,
+                           rtol=1e-5)
+        assert np.allclose(a.getitstat().PrimalRsdl,
+                           b.getitstat().PrimalRsdl, rtol=1e-4,
+                           atol=1e-7)
+
     def test_ineligible_configs(self):
         D, S = _problem(N=30)          # N % 8 != 0
         c = ConvBPDN(D, S, 0.1, opt=ConvBPDN.options(max_iter=5))
