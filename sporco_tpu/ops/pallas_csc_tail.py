@@ -50,8 +50,8 @@ _BLOCK_BYTES = 1 << 20
 
 
 def _pick_block_rows(R, C=4096):
-    # ~10 blocks live at once (3 in + 2 out, double-buffered); sized
-    # against the explicit vmem_limit_bytes passed to the compiler
+    # ~10 blocks live at once (3 in + 2 out, double-buffered): 1 MB
+    # blocks measured fastest; 2 MB+ exceeds the 16 MB scoped VMEM
     for br in (512, 256, 128, 64, 32, 16, 8):
         if R % br == 0 and br * C * 4 <= _BLOCK_BYTES:
             return br
