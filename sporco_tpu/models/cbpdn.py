@@ -422,11 +422,13 @@ def _internal_S_to_user(Si, cri):
     """Internal ``(K, C, 1, Nv...)`` -> user ``Nv + [C] + [K]``."""
     Si = Si[:, :, 0]   # (K, C, Nv...)
     perm = tuple(range(2, 2 + cri.dimN)) + (1, 0)
-    S = jnp.transpose(Si, perm)
+    S = jnp.transpose(Si, perm)            # Nv + (C, K)
     if cri.dimK == 0:
-        S = jnp.squeeze(S, axis=-1)
-    if cri.dimC == 0:
-        S = jnp.squeeze(S, axis=-1)
+        S = jnp.squeeze(S, axis=-1)        # drop singleton K
+        if cri.dimC == 0:
+            S = jnp.squeeze(S, axis=-1)    # drop singleton C (now last)
+    elif cri.dimC == 0:
+        S = jnp.squeeze(S, axis=-2)        # drop singleton C before K
     return S
 
 

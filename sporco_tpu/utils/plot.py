@@ -8,7 +8,20 @@ pay for (or require) a display stack unless plotting is used.
 
 import numpy as np
 
-__all__ = ["plot", "surf", "contour", "imview", "close", "set_ipython_plot_pos"]
+__all__ = ["plot", "surf", "contour", "imview", "close",
+           "attach_keypress", "attach_zoom", "set_ipython_plot_backend",
+           "set_notebook_plot_backend", "config_notebook_plotting",
+           "set_ipython_plot_pos"]
+
+
+def _attach_hooks(fig, ax, created_fig, zoom=True):
+    """Attach the interactive keypress (and optionally zoom) handlers
+    to figures this module created, when a display is present."""
+    if not (created_fig and _interactive_hooks and _has_display()):
+        return
+    attach_keypress(fig)
+    if zoom and ax is not None:
+        attach_zoom(ax)
 
 
 def _mpl():
@@ -33,6 +46,7 @@ def plot(y, x=None, ptyp="plot", xlbl=None, ylbl=None, title=None,
          lgnd=None, lglc=None, fig=None, ax=None, **kwargs):
     """Plot points or lines in 2D (``sporco/plot.py:179``)."""
     plt = _mpl()
+    created = fig is None
     if fig is None:
         fig = plt.figure()
     if ax is None:
@@ -51,6 +65,7 @@ def plot(y, x=None, ptyp="plot", xlbl=None, ylbl=None, title=None,
         ax.set_ylabel(ylbl)
     if lgnd is not None:
         ax.legend(lgnd, loc=lglc)
+    _attach_hooks(fig, ax, created)
     return fig, ax
 
 
@@ -58,6 +73,7 @@ def surf(z, x=None, y=None, elev=None, azim=None, xlbl=None, ylbl=None,
          zlbl=None, title=None, cmap=None, fig=None, ax=None, **kwargs):
     """Plot a 2D surface in 3D (``sporco/plot.py:331``)."""
     plt = _mpl()
+    created = fig is None
     if fig is None:
         fig = plt.figure()
     if ax is None:
@@ -74,6 +90,7 @@ def surf(z, x=None, y=None, elev=None, azim=None, xlbl=None, ylbl=None,
                  (zlbl, ax.set_zlabel), (title, ax.set_title)]:
         if v is not None:
             f(v)
+    _attach_hooks(fig, ax, created, zoom=False)
     return fig, ax
 
 
@@ -82,6 +99,7 @@ def contour(z, x=None, y=None, v=5, xlog=False, ylog=False, xlbl=None,
             fig=None, ax=None, **kwargs):
     """Contour plot of a 2D surface (``sporco/plot.py:444``)."""
     plt = _mpl()
+    created = fig is None
     if fig is None:
         fig = plt.figure()
     if ax is None:
@@ -102,6 +120,7 @@ def contour(z, x=None, y=None, v=5, xlog=False, ylog=False, xlbl=None,
                   (title, ax.set_title)]:
         if v_ is not None:
             f(v_)
+    _attach_hooks(fig, ax, created)
     return fig, ax
 
 
@@ -110,6 +129,7 @@ def imview(img, title=None, copy=True, fltscl=False, intrp="nearest",
            **kwargs):
     """Display an image (``sporco/plot.py:575``)."""
     plt = _mpl()
+    created = fig is None
     if fig is None:
         fig = plt.figure()
     if ax is None:
@@ -128,7 +148,59 @@ def imview(img, title=None, copy=True, fltscl=False, intrp="nearest",
         ax.set_title(title)
     ax.set_xticks([])
     ax.set_yticks([])
+    _attach_hooks(fig, ax, created)
     return fig, ax
+
+
+def attach_keypress(fig, scaling=1.1):
+    """Attach keypress handlers to a figure (capability of
+    ``sporco/plot.py:39``): 'q' closes the figure, 'e' enlarges it by
+    ``scaling``, 'r' reduces it.  Returns the handler so it can be
+    detached with ``fig.canvas.mpl_disconnect``."""
+    plt = _mpl()
+
+    def on_key(event):
+        if event.key == "q":
+            plt.close(fig)
+        elif event.key in ("e", "r"):
+            f = scaling if event.key == "e" else 1.0 / scaling
+            w, h = fig.get_size_inches()
+            fig.set_size_inches(w * f, h * f, forward=True)
+            fig.canvas.draw_idle()
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    return on_key
+
+
+def attach_zoom(ax, scaling=2.0):
+    """Attach scroll-wheel zoom to an axes (capability of
+    ``sporco/plot.py:80``): scrolling up zooms in around the cursor by
+    ``scaling``, scrolling down zooms out; the view never grows beyond
+    the original data limits.  Returns the handler."""
+    x0, x1 = ax.get_xlim()
+    y0, y1 = ax.get_ylim()
+
+    def _new_range(lo, hi, centre, factor, full_lo, full_hi):
+        span = (hi - lo) / factor
+        rel = (centre - lo) / (hi - lo)
+        nlo = centre - span * rel
+        nhi = centre + span * (1.0 - rel)
+        if abs(nhi - nlo) >= abs(full_hi - full_lo):
+            return full_lo, full_hi
+        return nlo, nhi
+
+    def on_scroll(event):
+        if event.inaxes is not ax or event.xdata is None:
+            return
+        factor = scaling if event.button == "up" else 1.0 / scaling
+        ax.set_xlim(*_new_range(*ax.get_xlim(), event.xdata, factor,
+                                x0, x1))
+        ax.set_ylim(*_new_range(*ax.get_ylim(), event.ydata, factor,
+                                y0, y1))
+        ax.figure.canvas.draw_idle()
+
+    ax.figure.canvas.mpl_connect("scroll_event", on_scroll)
+    return on_scroll
 
 
 def close(fig=None):
@@ -140,6 +212,45 @@ def close(fig=None):
         plt.close(fig)
 
 
+def set_ipython_plot_backend(backend="qt"):
+    """Set the matplotlib backend in an ipython console session
+    (capability of ``sporco/plot.py:722``); no-op outside ipython."""
+    try:
+        from IPython import get_ipython
+        ip = get_ipython()
+        if ip is not None:
+            ip.run_line_magic("matplotlib", backend)
+    except Exception:
+        pass
+
+
+def set_notebook_plot_backend(backend="inline"):
+    """Set the matplotlib backend in a notebook session (capability of
+    ``sporco/plot.py:745``); no-op outside a notebook."""
+    set_ipython_plot_backend(backend)
+
+
+def config_notebook_plotting():
+    """In a notebook: switch to the inline backend and disable the
+    interactive keypress/zoom hooks, which have no effect there
+    (capability of ``sporco/plot.py:768``); no-op elsewhere."""
+    try:
+        from IPython import get_ipython
+        ip = get_ipython()
+        if ip is None or "ZMQ" not in type(ip).__name__:
+            return
+    except Exception:
+        return
+    set_notebook_plot_backend("inline")
+    global _interactive_hooks
+    _interactive_hooks = False
+
+
 def set_ipython_plot_pos():  # pragma: no cover - notebook helper
     """Compat no-op for the reference's notebook backend helper."""
     return None
+
+
+# interactive keypress/zoom hooks are attached to newly-created figures
+# when a display is present (disabled by config_notebook_plotting)
+_interactive_hooks = True

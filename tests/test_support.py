@@ -105,6 +105,46 @@ class TestPlot:
         plot.imview(z, title="i", cbar=True, fltscl=True)
         plot.close()
 
+    def test_interactive_hooks(self):
+        # zoom/keypress machinery (sporco/plot.py:39-178 capability):
+        # drive synthetic events through the handlers on Agg
+        import matplotlib
+        matplotlib.use("Agg")
+        x = np.linspace(0, 1, 16)
+        fig, ax = plot.plot(np.sin(x), x=x)
+        onkey = plot.attach_keypress(fig, scaling=2.0)
+        w0, _ = fig.get_size_inches()
+
+        class _Ev:
+            pass
+
+        ev = _Ev(); ev.key = "e"
+        onkey(ev)
+        assert abs(fig.get_size_inches()[0] - 2.0 * w0) < 1e-6
+        ev.key = "r"
+        onkey(ev)
+        assert abs(fig.get_size_inches()[0] - w0) < 1e-6
+
+        onscroll = plot.attach_zoom(ax, scaling=2.0)
+        x0, x1 = ax.get_xlim()
+        ev = _Ev()
+        ev.inaxes = ax
+        ev.xdata, ev.ydata = 0.5, 0.0
+        ev.button = "up"
+        onscroll(ev)
+        nx0, nx1 = ax.get_xlim()
+        assert abs((nx1 - nx0) - (x1 - x0) / 2.0) < 1e-6
+        ev.button = "down"
+        onscroll(ev)     # zooming back out restores the full view
+        nx0, nx1 = ax.get_xlim()
+        assert abs(nx0 - x0) < 1e-6 and abs(nx1 - x1) < 1e-6
+        # notebook config helpers are safe no-ops outside a notebook
+        plot.config_notebook_plotting()
+        plot.set_ipython_plot_backend()
+        ev.key = "q"
+        onkey(ev)
+        plot.close()
+
 
 class TestAccel:
 
