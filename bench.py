@@ -305,6 +305,42 @@ def _bench_cdlcns():
             "tflops_per_s": round(ips * flops / 1e12, 2)}
 
 
+def _bench_cdlcns_scaling():
+    """Weak-scaling harness for the BASELINE multi-host target (>=80%
+    scaling efficiency for consensus dict-learn on 2+ hosts): K = 8
+    signals PER DEVICE over a global mesh spanning every device of
+    every process.  Run under ``jax.distributed`` (one process per
+    host; see sporco_tpu.parallel.launch) to obtain the 2+ host
+    number; on one chip it reports the single-device baseline that
+    scaled runs are compared against.
+    """
+    import jax
+    from sporco_tpu.parallel import launch, consensus
+    n_dev = jax.device_count()
+    n_proc = jax.process_count()
+    mesh = launch.global_mesh()
+    rng = np.random.default_rng(0)
+    N, Nd, M = 128, 8, 32
+    k_local = 8 * jax.local_device_count()
+    S_local = rng.standard_normal((N, N, k_local)).astype(np.float32)
+    D0 = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    d = launch.consensus_cdl(D0, S_local, lmbda=0.1, mesh=mesh,
+                             max_iter=30)
+    d.solve()
+    d2 = launch.consensus_cdl(D0, S_local, lmbda=0.1, mesh=mesh,
+                              max_iter=30)
+    t0 = time.time(); d2.solve(); t = time.time() - t0
+    ips = 30 / t
+    return {"metric": "Consensus CDL weak-scaling (8 images/device) "
+                      "outer iters/s",
+            "value": round(ips, 2), "unit": "iters/s",
+            "n_devices": n_dev, "n_processes": n_proc,
+            "images_total": 8 * n_dev,
+            "images_per_s_per_device": round(ips * 8, 2),
+            "note": "scaling efficiency = images_per_s_per_device at "
+                    "N devices / same at 1 device"}
+
+
 def _run_all():
     """All five BASELINE configs; one JSON line each, plus a combined
     record written to bench_all.json."""
@@ -337,6 +373,7 @@ def main():
         _enable_compile_cache()
         out = {"bpdn": _bench_bpdn, "tvl2": _bench_tvl2,
                "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
+               "cdlcns_scaling": _bench_cdlcns_scaling,
                "pgm": _bench_pgm}[cfg]()
         out.setdefault("vs_baseline", None)
         print(json.dumps(out))

@@ -56,6 +56,105 @@ print(json.dumps({{"sh_norm": float(np.linalg.norm(sh)),
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _run_reference_generic(code, timeout=600):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+    bench._ensure_shims()
+    pre = f"""
+import sys, json, warnings
+warnings.filterwarnings("ignore")
+sys.path.insert(0, "/tmp/shims"); sys.path.insert(1, "{_REF}")
+import numpy as np
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", pre + code], capture_output=True,
+        text=True, timeout=timeout,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_bpdn_objective_matches_reference(tmp_path):
+    """BASELINE config 1 (BPDN): identical per-iteration objective."""
+    from sporco_tpu.models import bpdn as mb
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N, M = 64, 128
+    D = rng.standard_normal((N, M))
+    s = D @ (np.abs(rng.standard_normal((M, 1))) > 2.2)
+    np.save(tmp_path / "D.npy", D)
+    np.save(tmp_path / "s.npy", s.astype(np.float64))
+    ref = _run_reference_generic(f"""
+from sporco.admm import bpdn
+D = np.load("{tmp_path}/D.npy"); s = np.load("{tmp_path}/s.npy")
+opt = bpdn.BPDN.Options({{'Verbose': False, 'MaxMainIter': 25,
+                         'RelStopTol': 0.0}})
+b = bpdn.BPDN(D, s, 0.1, opt)
+b.solve()
+print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
+""")
+    opt = mb.BPDN.options(max_iter=25, rel_stop_tol=0.0)
+    b = mb.BPDN(D, s, lmbda=0.1, opt=opt, dtype=jnp.float64)
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
+
+
+def test_tvl2_objective_matches_reference(tmp_path):
+    """BASELINE config 2 (TVL2Denoise): identical objective."""
+    from sporco_tpu.models import tv
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N = 64
+    img = np.zeros((N, N))
+    img[N // 4:3 * N // 4, N // 4:3 * N // 4] = 1.0
+    S = img + 0.1 * rng.standard_normal((N, N))
+    np.save(tmp_path / "S.npy", S)
+    ref = _run_reference_generic(f"""
+from sporco.admm import tvl2
+S = np.load("{tmp_path}/S.npy")
+opt = tvl2.TVL2Denoise.Options({{'Verbose': False, 'MaxMainIter': 20,
+                                'RelStopTol': 0.0}})
+b = tvl2.TVL2Denoise(S, 0.05, opt)
+b.solve()
+print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
+""")
+    opt = tv.TVL2Denoise.options(max_iter=20, rel_stop_tol=0.0)
+    b = tv.TVL2Denoise(S, 0.05, opt=opt, dtype=jnp.float64)
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    # the x-step uses the same fixed number of (Jacobi vs Gauss-Seidel)
+    # sweeps, so objectives agree closely but not to rounding
+    assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-3)
+    assert abs(obj[-1] - ref["obj"][-1]) < 1e-4 * abs(ref["obj"][-1])
+
+
+def test_rpca_objective_matches_reference(tmp_path):
+    """BASELINE config 3 (RobustPCA): identical objective."""
+    from sporco_tpu.models import rpca
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N, r = 64, 4
+    L = rng.standard_normal((N, r)) @ rng.standard_normal((r, N))
+    Ssp = (rng.random((N, N)) > 0.9) * rng.standard_normal((N, N)) * 5
+    S = L + Ssp
+    np.save(tmp_path / "S.npy", S)
+    ref = _run_reference_generic(f"""
+from sporco.admm import rpca
+S = np.load("{tmp_path}/S.npy")
+opt = rpca.RobustPCA.Options({{'Verbose': False, 'MaxMainIter': 15,
+                              'RelStopTol': 0.0}})
+b = rpca.RobustPCA(S, None, opt)
+b.solve()
+print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
+""")
+    opt = rpca.RobustPCA.options(max_iter=15, rel_stop_tol=0.0)
+    b = rpca.RobustPCA(S, opt=opt, dtype=jnp.float64)
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
+
+
 def test_cbpdn_objective_matches_reference_on_barbara(tmp_path):
     from sporco_tpu.utils.util import ExampleImages, convdicts
     from sporco_tpu.utils.signal import tikhonov_filter
