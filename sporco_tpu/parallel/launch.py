@@ -33,9 +33,9 @@ environment (TPU metadata) for coordinator discovery, matching
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh
 
-from sporco_tpu.parallel.mesh import data_sharding, replicated
+from sporco_tpu.parallel.mesh import data_sharding
 
 __all__ = ["initialize", "global_mesh", "shard_local_batch",
            "consensus_cdl", "grid_search"]

@@ -26,7 +26,7 @@ floating-point rounding.
 """
 
 import math
-from functools import partial
+
 
 import numpy as np
 import jax
