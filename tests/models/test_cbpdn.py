@@ -47,6 +47,27 @@ class TestDimInference:
         X2 = cr.to_internal_X(Xu, cri)
         assert np.allclose(np.asarray(X), np.asarray(X2))
 
+    def test_reconstruct_shapes(self):
+        # reconstruct() must return the USER signal layout for every
+        # D/S shape combination of the inference table (regression for
+        # the K-axis/channel-axis squeeze mix-up)
+        rng = np.random.default_rng(0)
+        cases = [
+            ((4, 4, 8), (16, 16), None),          # single signal
+            ((4, 4, 8), (16, 16, 3), None),       # K=3 signals
+            ((4, 4, 8), (16, 16, 3), 0),          # C=3 channels
+            ((4, 4, 3, 8), (16, 16, 3), None),    # multi-chan dict
+            ((4, 4, 8), (16, 16, 3, 5), None),    # C=3, K=5
+        ]
+        for Ds, Ss, dimK in cases:
+            D = rng.standard_normal(Ds).astype(np.float32)
+            S = rng.standard_normal(Ss).astype(np.float32)
+            b = cbpdn.ConvBPDN(D, S, lmbda=0.1, dimK=dimK,
+                               opt=cbpdn.ConvBPDN.options(max_iter=2))
+            b.solve()
+            Sr = np.asarray(b.reconstruct())
+            assert Sr.shape == Ss, (Ds, Ss, dimK, Sr.shape)
+
 
 def _make_problem(rng, N=16, Nd=5, M=8, K=1, C=1, nspikes=16,
                   multi_chan_dict=False, normalise=True):
