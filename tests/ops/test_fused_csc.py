@@ -155,6 +155,26 @@ class TestFusedCBPDN:
         assert np.allclose(a.getitstat().ObjFun, b.getitstat().ObjFun,
                            rtol=1e-4)
 
+    def test_mixed_matmul_precision_mode(self):
+        # the opt-in "mixed" x-step precision (single-pass bf16 forward
+        # conv on TPU; exact on CPU) must keep identical semantics
+        D, S = _problem()
+        opt = ConvBPDN.options(max_iter=15, rel_stop_tol=0.0)
+        a = ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+        Xa = np.asarray(a.solve())
+        try:
+            fused_csc.set_matmul_precision("mixed")
+            assert fused_csc.get_matmul_precision() == "mixed"
+            b = ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+            Xb = np.asarray(b.solve())
+        finally:
+            fused_csc.set_matmul_precision("high")
+        assert np.abs(Xa - Xb).max() < 2e-4 * max(np.abs(Xa).max(),
+                                                  1e-6)
+        import pytest
+        with pytest.raises(ValueError):
+            fused_csc.set_matmul_precision("bogus")
+
     def test_pallas_tail_matches_xla_tail(self):
         # the one-pass Pallas iteration tail (relax/prox/dual/
         # reductions) must reproduce the XLA tail's trajectory; run
