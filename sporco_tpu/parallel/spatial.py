@@ -37,7 +37,8 @@ from jax import shard_map
 
 from sporco_tpu.ops import prox as sp
 
-__all__ = ["dist_rfft2", "dist_irfft2", "tvl2deconv_nsharded"]
+__all__ = ["dist_rfft2", "dist_irfft2", "tvl2deconv_nsharded",
+           "cbpdn_nsharded"]
 
 
 def _a2a(x, axis_name, split_axis, concat_axis):
@@ -224,3 +225,163 @@ def tvl2deconv_nsharded(A, S, lmbda, mesh, opt=None, Wtv=1.0,
     X, k, r, s = run_sharded(S_sh, jnp.real(Af_full), jnp.imag(Af_full),
                              jnp.real(Gf_full), jnp.imag(Gf_full))
     return X, int(k), float(r), float(s)
+
+
+def cbpdn_nsharded(D, S, lmbda, mesh, opt=None, wl1=1.0,
+                   dtype=jnp.float64):
+    """ConvBPDN (single-channel 2-D l1 CSC) with the IMAGE ROWS sharded
+    over the mesh ``"data"`` axis -- the sequence-parallel analogue for
+    images exceeding one device, applied to the flagship solver.
+
+    Real-space state ``(M, N0, N1)`` is row-sharded; each iteration is
+    an M-channel distributed FFT pair (:func:`dist_rfft2`), a per-bin
+    rank-1 Sherman-Morrison solve (local in the frequency-column
+    blocks; ``sporco/linalg.py:232-273`` is per-bin independent), a
+    local prox tail, and psum'd residual norms.  Semantics are
+    identical to ``ConvBPDN(D, S, lmbda, opt, fused=False)``: default
+    rho/rho_xi heuristics, AutoRho with dual rescaling, normalised
+    residuals, early stopping, per-iteration stats.
+
+    Returns ``(X_user, stats, k)``: coefficient maps in the user layout
+    ``(N0, N1, M)`` (a global row-sharded array), the stats buffer
+    (rows ``Iter/ObjFun/DFid/RegL1/PrimalRsdl/DualRsdl/EPrimal/EDual/
+    Rho``), and the iterations run.
+    """
+    from sporco_tpu.models.cbpdn import ConvBPDN
+    from sporco_tpu.models.common import default_rho_xi
+    from sporco_tpu.solvers.admm import _update_rho
+    if opt is None:
+        opt = ConvBPDN.options()
+    S = jnp.asarray(S, dtype)
+    D = jnp.asarray(D, dtype)
+    if S.ndim != 2 or D.ndim != 3:
+        raise ValueError("prototype supports 2-D single-channel S and "
+                         "a (Nd0, Nd1, M) dictionary")
+    N0, N1 = S.shape
+    M = D.shape[-1]
+    P = mesh.shape["data"]
+    if N0 % P != 0:
+        raise ValueError(f"N0 ({N0}) must divide the mesh data axis "
+                         f"({P})")
+    K1 = N1 // 2 + 1
+    K1p = -(-K1 // P) * P
+    ar = opt.auto_rho
+    lmbda = float(lmbda)
+    rho0 = opt.rho if opt.rho is not None else 50.0 * lmbda + 1.0
+    rho_xi = (ar.rsdl_target if ar.rsdl_target is not None
+              else default_rho_xi(lmbda))
+    rlx = opt.relax_param
+    wl1 = float(wl1)
+    nc = math.sqrt(M * N0 * N1)
+    nx = nc
+    n_stat = 10
+
+    Dm = jnp.moveaxis(D, -1, 0)                     # (M, Nd0, Nd1)
+    Df_full = jnp.fft.rfft2(Dm, s=(N0, N1))
+    Df_full = jnp.pad(Df_full, [(0, 0), (0, 0), (0, K1p - K1)])
+
+    def run(S_loc, Dfr, Dfi):
+        idx = lax.axis_index("data")
+        c0 = idx * jnp.asarray(K1p // P, idx.dtype)
+        z0 = jnp.zeros((), idx.dtype)
+        Df = lax.dynamic_slice(Dfr, (z0, z0, c0), (M, N0, K1p // P)) \
+            + 1j * lax.dynamic_slice(Dfi, (z0, z0, c0),
+                                     (M, N0, K1p // P))
+        cols = idx * (K1p // P) + jnp.arange(K1p // P)
+        mask = (cols < K1)[None, :]
+        # Parseval weights for the half-spectrum (rfl2norm2): double
+        # every bin except the first and (even N1) last columns
+        pw = jnp.where(mask, 2.0, 0.0)
+        pw = jnp.where((cols == 0)[None, :], 1.0, pw)
+        if N1 % 2 == 0:
+            pw = jnp.where((cols == K1 - 1)[None, :], 1.0, pw)
+        DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=0)
+        Sf = dist_rfft2(S_loc, P)                   # (N0, K1p/P)
+        DSf = jnp.conj(Df) * Sf[None]
+
+        def pnorm2(v):
+            return lax.psum(jnp.sum(v * v), "data")
+
+        def cond(st):
+            k, r, s, epri, edua = st[3], st[4], st[5], st[6], st[7]
+            return jnp.logical_and(
+                k < opt.max_iter,
+                jnp.logical_not(jnp.logical_and(r <= epri,
+                                                s <= edua)))
+
+        def body(st):
+            X, Y, U, k, _, _, _, _, rho, stats = st
+            Yprev = Y
+            # x-step: per-bin rank-1 Sherman-Morrison in the local
+            # frequency-column block (sporco/admm/cbpdn.py:267-293)
+            YUf = dist_rfft2(Y - U, P)              # (M, N0, K1p/P)
+            b = DSf + rho * YUf
+            ahb = jnp.sum(Df * b, axis=0)
+            Xf = (b - jnp.conj(Df) * (ahb / (rho + DHD))[None]) / rho
+            Xl = dist_irfft2(Xf, N1, P)             # (M, n0loc, N1)
+            AX = rlx * Xl + (1 - rlx) * Y
+            AXU = AX + U
+            thr = (lmbda / rho) * wl1
+            Yn = jnp.sign(AXU) * jnp.maximum(jnp.abs(AXU) - thr, 0.0)
+            Un = U + AX - Yn
+            # normalised residuals (generic ADMMEqual semantics)
+            rnrm = jnp.sqrt(pnorm2(Xl - Yn))
+            snrm = rho * jnp.sqrt(pnorm2(Yn - Yprev))
+            rn = jnp.sqrt(jnp.maximum(pnorm2(Xl), pnorm2(Yn)))
+            sn = rho * jnp.sqrt(pnorm2(Un))
+            if ar.std_residuals:
+                r, s = rnrm, snrm
+                epri = nc * opt.abs_stop_tol + rn * opt.rel_stop_tol
+                edua = nx * opt.abs_stop_tol + sn * opt.rel_stop_tol
+            else:
+                rn_ = jnp.where(rn == 0.0, 1.0, rn)
+                sn_ = jnp.where(sn == 0.0, 1.0, sn)
+                r = rnrm / rn_
+                s = snrm / sn_
+                epri = nc * opt.abs_stop_tol / rn_ + opt.rel_stop_tol
+                edua = nx * opt.abs_stop_tol / sn_ + opt.rel_stop_tol
+            # objective (fEvalX): dfd from the half-spectrum with the
+            # Parseval weights, l1 term over X
+            if opt.fast_solve:
+                obj = dfd = rl1 = jnp.nan
+            else:
+                Ef = jnp.sum(Df * Xf, axis=0) - Sf
+                dfd = 0.5 * lax.psum(
+                    jnp.sum(pw * (Ef * jnp.conj(Ef)).real), "data") \
+                    / (N0 * N1)
+                rl1 = wl1 * lax.psum(jnp.sum(jnp.abs(Xl)), "data")
+                obj = dfd + lmbda * rl1
+            row = jnp.stack([jnp.float32(k), jnp.float32(obj),
+                             jnp.float32(dfd), jnp.float32(rl1),
+                             jnp.float32(r), jnp.float32(s),
+                             jnp.float32(epri), jnp.float32(edua),
+                             jnp.float32(rho), jnp.float32(0.0)])
+            stats = lax.dynamic_update_slice(
+                stats, row[None, :], (k, jnp.zeros_like(k)))
+            rho_n, Un = _update_rho(ar, k, r, s, rho, rho_xi, Un)
+            return (Xl, Yn, Un, k + 1, r, s, epri, edua, rho_n, stats)
+
+        rdt = S_loc.dtype
+        zb = lambda: lax.pvary(
+            jnp.zeros((M, S_loc.shape[0], N1), rdt), "data")
+        st0 = (zb(), zb(), zb(),
+               jnp.asarray(0, jnp.int32),
+               jnp.asarray(jnp.inf, rdt), jnp.asarray(jnp.inf, rdt),
+               jnp.asarray(0.0, rdt), jnp.asarray(0.0, rdt),
+               jnp.asarray(rho0, rdt),
+               jnp.full((opt.max_iter, n_stat), jnp.nan, jnp.float32))
+        X, Y, U, k, r, s, epri, edua, rho, stats = lax.while_loop(
+            cond, body, st0)
+        return Y, stats, k
+
+    rowspec = PartitionSpec(None, "data", None)
+    srow = PartitionSpec("data", None)
+    rep = PartitionSpec()
+    run_sharded = jax.jit(shard_map(
+        run, mesh=mesh, in_specs=(srow, rep, rep),
+        out_specs=(rowspec, rep, rep)))
+    S_sh = jax.device_put(S, NamedSharding(mesh, srow))
+    Y, stats, k = run_sharded(S_sh, jnp.real(Df_full),
+                              jnp.imag(Df_full))
+    X_user = jnp.moveaxis(Y, 0, -1)
+    return X_user, np.asarray(stats)[:int(k)], int(k)

@@ -74,6 +74,36 @@ class TestNShardedTVL2Deconv:
         assert k2 == n1                     # same early-stop iteration
         assert np.abs(np.asarray(X2) - X1).max() < 1e-9
 
+    def test_nsharded_cbpdn_matches_single(self):
+        # the flagship CSC solver with image rows sharded over 8
+        # devices: identical trajectory to the generic single-device
+        # ConvBPDN (incl. AutoRho and early stopping)
+        from sporco_tpu.models import cbpdn as mc
+        rng = np.random.default_rng(12345)
+        N, Nd, M = 64, 6, 8
+        D = rng.standard_normal((Nd, Nd, M))
+        D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+        S = rng.standard_normal((N, N))
+
+        opt = mc.ConvBPDN.options(max_iter=60, rel_stop_tol=1e-3)
+        b = mc.ConvBPDN(D, S, lmbda=0.1, opt=opt, dtype=jnp.float64,
+                        fused=False)
+        X1 = np.squeeze(np.asarray(b.solve()))
+        its = b.getitstat()
+
+        mesh = make_mesh()
+        X2, stats, k = spatial.cbpdn_nsharded(D, S, 0.1, mesh, opt=opt)
+        assert len(X2.sharding.device_set) == 8
+        assert k == len(its)                 # same early-stop point
+        assert np.abs(np.asarray(X2) - X1).max() < 1e-9
+        # per-iteration objective/residual parity with the generic run
+        assert np.allclose(stats[:, 1], np.asarray(its.ObjFun),
+                           rtol=1e-6)
+        assert np.allclose(stats[:, 4], np.asarray(its.PrimalRsdl),
+                           rtol=1e-5, atol=1e-12)
+        assert np.allclose(stats[:, 8], np.asarray(its.Rho),
+                           rtol=1e-6)
+
     def test_early_stop_disabled_runs_full(self):
         from sporco_tpu.models import tv
         rng = np.random.default_rng(0)
