@@ -305,6 +305,39 @@ def _bench_cdlcns():
             "tflops_per_s": round(ips * flops / 1e12, 2)}
 
 
+def _bench_cbpdn_batch():
+    """Batched CSC serving throughput: K=8 512x512 images solved
+    simultaneously by the fused driver (the reference's native CUDA
+    path is single-image single-channel only,
+    ``dictlrn/onlinecdl.py:252-258``)."""
+    from sporco_tpu.models import cbpdn
+    from sporco_tpu.ops import mxufft
+    mxufft.set_precision("high")
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.default_rng(0)
+    N, Nd, M, K = 512, 8, 64, 8
+    D = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+    S = np.stack([gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5
+                  + 0.1 * rng.standard_normal((N, N))
+                  for _ in range(K)], axis=-1).astype(np.float32)
+    opt = cbpdn.ConvBPDN.options(max_iter=500, rel_stop_tol=1e-3)
+    b = cbpdn.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+    b.solve()
+    t_best = float("inf")
+    for _ in range(2):
+        b2 = cbpdn.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+        t0 = time.time()
+        b2.solve()
+        t_best = min(t_best, time.time() - t0)
+    n = len(b2.getitstat())
+    return {"metric": "ConvBPDN batched serving, 8x 512x512x64 "
+                      "(images solved to 1e-3 per second)",
+            "value": round(K / t_best, 2), "unit": "images/s",
+            "iters": n, "time_s": round(t_best, 4),
+            "image_iters_per_s": round(K * n / t_best, 2)}
+
+
 def _bench_cdlcns_scaling():
     """Weak-scaling harness for the BASELINE multi-host target (>=80%
     scaling efficiency for consensus dict-learn on 2+ hosts): K = 8
@@ -374,6 +407,7 @@ def main():
         out = {"bpdn": _bench_bpdn, "tvl2": _bench_tvl2,
                "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
                "cdlcns_scaling": _bench_cdlcns_scaling,
+               "cbpdn_batch": _bench_cbpdn_batch,
                "pgm": _bench_pgm}[cfg]()
         out.setdefault("vs_baseline", None)
         print(json.dumps(out))
