@@ -36,8 +36,7 @@ def main(N=32, Nd=6, M=6, K=4, iters=60):
 
     def align(D1):
         # best-match cosine similarity of learned atoms to truth
-        D1 = np.asarray(D1)
-        D1 = D1[:Nd, :Nd].reshape(Nd, Nd, M)   # crop padded support
+        D1 = np.asarray(D1).reshape(Nd, Nd, M)
         nrm = np.sqrt((D1 ** 2).sum((0, 1), keepdims=True))
         sims = np.abs(np.einsum("uvm,uvn->mn",
                                 D1 / np.maximum(nrm, 1e-12), D0))
@@ -48,7 +47,8 @@ def main(N=32, Nd=6, M=6, K=4, iters=60):
                                   rel_stop_tol=1e-6)
         b = ConvCnstrMOD(X, S, (Nd, Nd, M), method=method, opt=opt,
                          dtype=jnp.float64)
-        D1 = np.asarray(b.solve())
+        b.solve()
+        D1 = np.asarray(b.getdict())
         print(f"CCMOD[{method}]: {len(b.getitstat())} iters, atom "
               f"alignment {align(D1):.4f}")
 
@@ -56,7 +56,8 @@ def main(N=32, Nd=6, M=6, K=4, iters=60):
                            opt=mpgm.ConvCnstrMOD.options(
                                max_iter=iters, rel_stop_tol=1e-6),
                            dtype=jnp.float64)
-    D2 = np.asarray(bp.solve())
+    bp.solve()
+    D2 = np.asarray(bp.getdict())
     print(f"CCMOD[pgm]: {len(bp.getitstat())} iters, atom alignment "
           f"{align(D2):.4f}")
     return D2
