@@ -381,7 +381,9 @@ def _run_all():
     results = []
     for name, fn in [("bpdn", _bench_bpdn), ("tvl2", _bench_tvl2),
                      ("rpca", _bench_rpca), ("pgm", _bench_pgm),
-                     ("cdlcns", _bench_cdlcns)]:
+                     ("cdlcns", _bench_cdlcns),
+                     ("cbpdn_batch", _bench_cbpdn_batch),
+                     ("cdlcns_scaling", _bench_cdlcns_scaling)]:
         out = fn()
         out.setdefault("vs_baseline", None)
         print(json.dumps(out), flush=True)
