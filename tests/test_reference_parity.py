@@ -155,6 +155,71 @@ print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
     assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
 
 
+def test_cbpdn_gradreg_fused_matches_reference(tmp_path):
+    """The fused gradreg driver (cbpdngrd scope of the reference CUDA
+    extension) against the reference ConvBPDNGradReg itself."""
+    from sporco_tpu.models import cbpdn as mc
+    from sporco_tpu.ops import fused_csc
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N, Nd, M = 32, 8, 4
+    D = rng.standard_normal((Nd, Nd, M))
+    S = rng.standard_normal((N, N))
+    np.save(tmp_path / "D.npy", D)
+    np.save(tmp_path / "S.npy", S)
+    ref = _run_reference_generic(f"""
+from sporco.admm import cbpdn
+D = np.load("{tmp_path}/D.npy"); S = np.load("{tmp_path}/S.npy")
+opt = cbpdn.ConvBPDNGradReg.Options({{'Verbose': False,
+    'MaxMainIter': 20, 'RelStopTol': 0.0}})
+b = cbpdn.ConvBPDNGradReg(D, S, 0.1, 0.2, opt)
+b.solve()
+its = b.getitstat()
+print(json.dumps({{"obj": list(map(float, its.ObjFun)),
+                  "rgr": list(map(float, its.RegGrad))}}))
+""")
+    opt = mc.ConvBPDNGradReg.options(max_iter=20, rel_stop_tol=0.0)
+    b = mc.ConvBPDNGradReg(D, S, 0.1, mu=0.2, opt=opt,
+                           dtype=jnp.float64)
+    # f64 falls back to the generic driver; also run the fused f32 one
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
+    assert np.allclose(np.asarray(b.getitstat().RegGrad),
+                       np.asarray(ref["rgr"]), rtol=1e-5, atol=1e-9)
+    bf = mc.ConvBPDNGradReg(D, S, 0.1, mu=0.2, opt=opt, fused=True)
+    assert fused_csc.eligible(bf.cfg, bf.params, bf.opts)
+    bf.solve()
+    obj_f = np.asarray(bf.getitstat().ObjFun)
+    assert np.allclose(obj_f, np.asarray(ref["obj"]), rtol=2e-4)
+
+
+def test_conv_elasticnet_matches_reference(tmp_path):
+    from sporco_tpu.models import cbpdn as mc
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N, Nd, M = 32, 6, 4
+    D = rng.standard_normal((Nd, Nd, M))
+    S = rng.standard_normal((N, N))
+    np.save(tmp_path / "D.npy", D)
+    np.save(tmp_path / "S.npy", S)
+    ref = _run_reference_generic(f"""
+from sporco.admm import cbpdn
+D = np.load("{tmp_path}/D.npy"); S = np.load("{tmp_path}/S.npy")
+opt = cbpdn.ConvElasticNet.Options({{'Verbose': False,
+    'MaxMainIter': 20, 'RelStopTol': 0.0}})
+b = cbpdn.ConvElasticNet(D, S, 0.1, 0.05, opt)
+b.solve()
+print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
+""")
+    opt = mc.ConvElasticNet.options(max_iter=20, rel_stop_tol=0.0)
+    b = mc.ConvElasticNet(D, S, 0.1, mu=0.05, opt=opt,
+                          dtype=jnp.float64)
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
+
+
 def test_cbpdn_objective_matches_reference_on_barbara(tmp_path):
     from sporco_tpu.utils.util import ExampleImages, convdicts
     from sporco_tpu.utils.signal import tikhonov_filter
