@@ -155,6 +155,66 @@ print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
     assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
 
 
+def test_tvl1_objective_matches_reference(tmp_path):
+    """TVL1Denoise: close objective trajectories (our x-step uses
+    Jacobi sweeps where the reference uses Gauss-Seidel, so this is a
+    convergence-level rather than rounding-level comparison)."""
+    from sporco_tpu.models import tv
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N = 48
+    img = np.zeros((N, N))
+    img[N // 4:3 * N // 4, N // 4:3 * N // 4] = 1.0
+    S = img.copy()
+    m = rng.random((N, N))
+    S[m < 0.05] = 0.0
+    S[m > 0.95] = 1.0
+    np.save(tmp_path / "S.npy", S)
+    ref = _run_reference_generic(f"""
+from sporco.admm import tvl1
+S = np.load("{tmp_path}/S.npy")
+opt = tvl1.TVL1Denoise.Options({{'Verbose': False, 'MaxMainIter': 30,
+                                'RelStopTol': 0.0}})
+b = tvl1.TVL1Denoise(S, 0.8, opt)
+b.solve()
+print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
+""")
+    opt = tv.TVL1Denoise.options(max_iter=30, rel_stop_tol=0.0)
+    b = tv.TVL1Denoise(S, 0.8, opt=opt, dtype=jnp.float64)
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    ref_obj = np.asarray(ref["obj"])
+    assert abs(obj[-1] - ref_obj[-1]) < 2e-3 * abs(ref_obj[-1])
+    assert np.allclose(obj[5:], ref_obj[5:], rtol=5e-3)
+
+
+def test_spline_objective_matches_reference(tmp_path):
+    """SplineL1 (DCT-domain x-step): identical objective."""
+    from sporco_tpu.models import spline
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12345)
+    N = 48
+    x = np.linspace(-1, 1, N)
+    S = np.outer(np.sin(2 * x), np.cos(3 * x))
+    m = rng.random((N, N))
+    S[m < 0.05] += 2.0
+    np.save(tmp_path / "S.npy", S)
+    ref = _run_reference_generic(f"""
+from sporco.admm import spline
+S = np.load("{tmp_path}/S.npy")
+opt = spline.SplineL1.Options({{'Verbose': False, 'MaxMainIter': 25,
+                               'RelStopTol': 0.0}})
+b = spline.SplineL1(S, 5.0, opt)
+b.solve()
+print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
+""")
+    opt = spline.SplineL1.options(max_iter=25, rel_stop_tol=0.0)
+    b = spline.SplineL1(S, 5.0, opt=opt, dtype=jnp.float64)
+    b.solve()
+    obj = np.asarray(b.getitstat().ObjFun)
+    assert np.allclose(obj, np.asarray(ref["obj"]), rtol=1e-6)
+
+
 def test_cbpdn_gradreg_fused_matches_reference(tmp_path):
     """The fused gradreg driver (cbpdngrd scope of the reference CUDA
     extension) against the reference ConvBPDNGradReg itself."""
