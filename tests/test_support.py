@@ -169,6 +169,29 @@ class TestAccel:
                            dtype=jnp.float64)
         assert X.shape == (16, 16, 1, 1, 8)
 
+    def test_reference_style_option_dict(self):
+        # the reference call surface: sporco.cuda.cbpdn(D, s, lmbda,
+        # cbpdn.ConvBPDN.Options({...})) -- a plain dict with the
+        # reference's option names must translate
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        opt = {"MaxMainIter": 10, "RelStopTol": 0.0,
+               "RelaxParam": 1.8, "rho": 2.0, "NonNegCoef": True,
+               "AutoRho": {"Enabled": False},
+               "HighMemSolve": True}          # unknown key: ignored
+        Xd = np.asarray(accel.cbpdn(self.D, self.S, 0.1, opt=opt,
+                                    dtype=jnp.float64))
+        assert Xd.shape == (16, 16, 1, 1, 8)
+        assert Xd.min() >= 0.0                # NonNegCoef honoured
+        # identical to the equivalent ADMMOpts call
+        from sporco_tpu.solvers.admm import AutoRhoOpts
+        Xo = np.asarray(accel.cbpdn(
+            self.D, self.S, 0.1, non_neg=True,
+            opt=ConvBPDN.options(max_iter=10, rel_stop_tol=0.0,
+                                 relax_param=1.8, rho=2.0,
+                                 auto_rho=AutoRhoOpts(enabled=False)),
+            dtype=jnp.float64))
+        assert np.allclose(Xd, Xo)
+
     def test_cbpdnmsk(self):
         from sporco_tpu.models.cbpdn import ConvBPDN
         X = accel.cbpdnmsk(self.D, self.S, self.W, 0.1,
