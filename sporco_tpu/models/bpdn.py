@@ -24,6 +24,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel, default_rho_xi
 
 __all__ = ["BPDN", "BPDNJoint", "ElasticNet", "BPDNProjL1",
@@ -124,6 +125,15 @@ class BPDN(ADMMModel):
 
     VARIANT = "l1"
 
+    # reference GenericBPDN/BPDN option keys (sporco/admm/bpdn.py:92-130)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": ("k", "obj_from_y"),
+        "LinSolveCheck": refopts.WARN,
+        "NonNegCoef": ("k", "non_neg"),
+        "L1Weight": ("k", "wl1"),
+    }
+
     @staticmethod
     def options(**kw):
         """Construct :class:`ADMMOpts` with this model's defaults."""
@@ -137,7 +147,7 @@ class BPDN(ADMMModel):
 
     def __init__(self, D, S, lmbda=None, opt=None, wl1=1.0, mu=0.0,
                  gamma=None, non_neg=False, dtype=jnp.float32,
-                 Y0=None, U0=None):
+                 Y0=None, U0=None, obj_from_y=True):
         super().__init__()
         if opt is None:
             opt = self.options()
@@ -150,7 +160,8 @@ class BPDN(ADMMModel):
             DTS = D.T @ S
             lmbda = 0.1 * float(jnp.max(jnp.abs(DTS)))
         self.lmbda = lmbda
-        self.cfg = BPDNConfig(variant=self.VARIANT, non_neg=non_neg)
+        self.cfg = BPDNConfig(variant=self.VARIANT, non_neg=non_neg,
+                              obj_from_y=obj_from_y)
         self.opts = opt.replace(dtype=dtype)
         M, K = D.shape[1], S.shape[1]
         self.params = {
@@ -317,6 +328,14 @@ class MinL1InL2Ball(ADMMModel):
     (``sporco/admm/bpdn.py:920``), as the two-block splitting
     ``(I; D) x = (y0; y1)`` with an l1 prox on ``y0`` and an l2-ball
     projection (centred at ``s``) on ``y1``."""
+
+    # reference MinL1InL2Ball option keys (sporco/admm/bpdn.py:955-975)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "NonNegCoef": ("k", "non_neg"),
+        "L1Weight": ("k", "wl1"),
+    }
 
     @staticmethod
     def options(**kw):

@@ -35,6 +35,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel, default_rho_xi
 from sporco_tpu.utils.signal import gradient_filters
 
@@ -282,6 +283,18 @@ class ConvBPDN(ADMMModel):
 
     VARIANT = "l1"
 
+    # reference GenericConvBPDN/ConvBPDN option keys
+    # (sporco/admm/cbpdn.py:104-134,484-495)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": ("k", "obj_from_x", refopts._not),
+        "HighMemSolve": refopts.IGNORE,   # no cached-factor trade-off here
+        "LinSolveCheck": ("k", "lin_check"),
+        "NonNegCoef": ("k", "non_neg"),
+        "NoBndryCross": ("k", "no_bndry"),
+        "L1Weight": ("k", "wl1"),
+    }
+
     @staticmethod
     def options(**kw):
         ar = kw.pop("auto_rho", AutoRhoOpts(enabled=True, period=1,
@@ -295,7 +308,8 @@ class ConvBPDN(ADMMModel):
     def __init__(self, D, S, lmbda=None, opt=None, dimK=None, dimN=2,
                  wl1=1.0, mu=0.0, wl21=1.0, wgrd=1.0, gamma=None,
                  non_neg=False, no_bndry=False, lin_check=False,
-                 dtype=jnp.float32, Y0=None, U0=None, fused="auto"):
+                 dtype=jnp.float32, Y0=None, U0=None, fused="auto",
+                 obj_from_x=True):
         super().__init__()
         self._fused = fused
         if opt is None:
@@ -318,7 +332,8 @@ class ConvBPDN(ADMMModel):
         self.lmbda = lmbda
         self.cfg = CSCConfig(cri=cri, variant=self.VARIANT,
                              non_neg=non_neg, no_bndry=no_bndry,
-                             lin_check=lin_check, real=real)
+                             lin_check=lin_check, real=real,
+                             obj_from_x=obj_from_x)
         self.opts = opt.replace(dtype=dtype)
         rdt = sf.real_dtype(dtype)
         wl1a = jnp.asarray(wl1, rdt)
@@ -437,6 +452,7 @@ class ConvBPDNJoint(ConvBPDN):
     ``mu ||X||_{2,1}`` with the l2 norm over the channel axis
     (``sporco/admm/cbpdn.py:636``)."""
     VARIANT = "joint"
+    REF_OPT_EXTRA = {"L21Weight": ("k", "wl21")}
 
     def __init__(self, D, S, lmbda=None, mu=0.0, opt=None, **kw):
         super().__init__(D, S, lmbda=lmbda, mu=mu, opt=opt, **kw)
@@ -457,6 +473,7 @@ class ConvBPDNGradReg(ConvBPDN):
     ``solvedbd_sm`` (``sporco/admm/cbpdn.py:992,1173-1201``).  ``wgrd``
     is the per-filter GradWeight array."""
     VARIANT = "gradreg"
+    REF_OPT_EXTRA = {"GradWeight": ("k", "wgrd")}
 
     def __init__(self, D, S, lmbda=None, mu=0.0, opt=None, wgrd=1.0, **kw):
         super().__init__(D, S, lmbda=lmbda, mu=mu, opt=opt, wgrd=wgrd,
@@ -657,6 +674,18 @@ class ConvBPDNMaskDcpl(ADMMModel):
 
     VARIANT = "maskdcpl"
 
+    # reference ConvTwoBlockCnstrnt/ConvBPDNMaskDcpl option keys
+    # (sporco/admm/cbpdn.py:1493-1516,2131-2136)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "HighMemSolve": refopts.IGNORE,
+        "LinSolveCheck": refopts.WARN,
+        "NonNegCoef": ("k", "non_neg"),
+        "NoBndryCross": ("k", "no_bndry"),
+        "L1Weight": ("k", "wl1"),
+    }
+
     @staticmethod
     def options(**kw):
         # reference defaults: rho = 1.0, AutoRho disabled
@@ -732,6 +761,7 @@ class ConvL1L1Grd(ConvBPDNMaskDcpl):
     (``sporco/admm/cbpdn.py:2488``)."""
 
     VARIANT = "l1l1grd"
+    REF_OPT_EXTRA = {"GradWeight": ("k", "wgrd")}
 
     def __init__(self, D, S, lmbda, mu=0.0, W=None, opt=None, **kw):
         super().__init__(D, S, lmbda=lmbda, mu=mu, W=W, opt=opt, **kw)
@@ -782,6 +812,14 @@ class AddMaskSim:
 
     def __init__(self, cbpdnclass, D, S, W, *args, dtype=jnp.float32,
                  **kwargs):
+        # reference-style dict opts pass through to the inner class;
+        # L1Weight must be lifted out here so the impulse maps can be
+        # zero-weighted below
+        _opt = kwargs.get("opt")
+        if isinstance(_opt, dict) and "L1Weight" in _opt:
+            _opt = dict(_opt)
+            kwargs["wl1"] = _opt.pop("L1Weight")
+            kwargs["opt"] = _opt
         D = jnp.asarray(D, dtype)
         S = jnp.asarray(S, dtype)
         W = jnp.asarray(W, dtype)

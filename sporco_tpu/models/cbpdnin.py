@@ -21,6 +21,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel, default_rho_xi
 from sporco_tpu.models.cbpdn import _max_abs_dhs, _apply_masks, CSCConfig
 
@@ -159,6 +160,18 @@ class ConvBPDNInhib(ADMMModel):
     (``sporco/admm/cbpdnin.py:28``).  ``Wg`` is the (Ng, M) group
     matrix; ``Whn`` the inhibition window diameter; ``mu``/``gamma``
     the lateral/self inhibition weights."""
+
+    # reference ConvBPDNInhib option keys (sporco/admm/cbpdnin.py:118)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "HighMemSolve": refopts.IGNORE,
+        "LinSolveCheck": refopts.WARN,
+        "NonNegCoef": ("k", "non_neg"),
+        "NoBndryCross": ("k", "no_bndry"),
+        "L1Weight": ("k", "wl1"),
+        "SmoothWeight": ("k", "smooth"),
+    }
 
     @staticmethod
     def options(**kw):

@@ -23,6 +23,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel
 from sporco_tpu.models.cbpdn import _max_abs_dhs, _reconstruct_jit, \
     _internal_S_to_user
@@ -266,6 +267,19 @@ class ConvBPDNScalarTV(ADMMModel):
     ``argmin_x (1/2)||sum_m d_m*x_m - s||^2 + lmbda||x||_1 +
     mu sum_m || sqrt(sum_i (G_i x_m)^2) ||_1``
     (``sporco/admm/cbpdntv.py:31``)."""
+
+    # reference cbpdntv option keys (sporco/admm/cbpdntv.py:147-153):
+    # ConvBPDN keys + TVWeight
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "HighMemSolve": refopts.IGNORE,
+        "LinSolveCheck": ("k", "lin_check"),
+        "NonNegCoef": refopts.WARN,
+        "NoBndryCross": refopts.WARN,
+        "L1Weight": ("k", "wl1"),
+        "TVWeight": ("k", "wtv"),
+    }
 
     VARIANT = "scalar"
 

@@ -28,6 +28,7 @@ from sporco_tpu.ops import fft as sf
 from sporco_tpu.ops import linalg as sl
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state, tree_norm)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel
 
 __all__ = ["ConvCnstrMODBase", "ConvCnstrMOD_IterSM", "ConvCnstrMOD_CG",
@@ -232,6 +233,16 @@ class ConvCnstrMODBase(ADMMModel):
     reference's coefficient layout), ``S``, and a ``dsz`` spec; folds
     signal channels onto the signal axis for single-channel
     dictionaries (``sporco/admm/ccmod.py:270-280``)."""
+
+    # reference ConvCnstrMOD option keys (sporco/admm/ccmod.py:131-147)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "ZeroMean": ("k", "zero_mean"),
+        "LinSolveCheck": ("k", "lin_check"),
+        "CG": ("sub", {"StopTol": ("k", "cg_tol"),
+                       "MaxIter": ("k", "cg_max_iter")}),
+    }
 
     METHOD = "ism"
 

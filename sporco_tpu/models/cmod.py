@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from sporco_tpu.ops import linalg as sl
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel
 
 __all__ = ["CnstrMOD", "getPcn", "zeromean", "normalise"]
@@ -86,6 +87,13 @@ class CnstrMOD(ADMMModel):
     is (N, K); the solution ``D`` is (N, M) with unit-norm columns.
     Defaults mirror the reference: AutoRho enabled, rho = K / 500
     (``sporco/admm/cmod.py:104,185``)."""
+
+    # reference CnstrMOD option keys (sporco/admm/cmod.py:106-118)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "ZeroMean": ("k", "zero_mean"),
+    }
 
     @staticmethod
     def options(**kw):

@@ -13,6 +13,7 @@ machinery, ``sporco/common.py:24-82``), and all timing is collected via
 import jax
 import jax.numpy as jnp
 
+from sporco_tpu import refopts
 from sporco_tpu.solvers import admm as _admm
 from sporco_tpu.solvers import pgm as _pgm
 from sporco_tpu.utils.timer import Timer
@@ -37,7 +38,18 @@ def device_sync(state):
 class ADMMModel:
     """Base for ADMM-driven model classes.  Subclasses set
     ``self.problem`` (an :class:`ADMMProblem`), ``self.cfg``,
-    ``self.params``, ``self.opts`` and ``self.state`` in ``__init__``."""
+    ``self.params``, ``self.opts`` and ``self.state`` in ``__init__``.
+
+    Every subclass constructor transparently accepts a reference-style
+    option dict as ``opt`` (``sporco/cdict.py:55`` semantics; see
+    :mod:`sporco_tpu.refopts`): subclasses declare their model-specific
+    key additions in ``REF_OPT_EXTRA``."""
+
+    REF_OPT_EXTRA = refopts.ADMM_BASE
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        refopts.wrap_init(cls)
 
     def __init__(self):
         self.timer = Timer(["init", "solve"])
@@ -150,7 +162,14 @@ def _display_stats(its, file=None):
 
 
 class PGMModel:
-    """Base for PGM-driven model classes."""
+    """Base for PGM-driven model classes.  Constructors accept
+    reference-style option dicts (see :class:`ADMMModel`)."""
+
+    REF_OPT_EXTRA = refopts.PGM_BASE
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        refopts.wrap_init(cls)
 
     def __init__(self):
         self.timer = Timer(["init", "solve"])

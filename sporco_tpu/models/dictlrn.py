@@ -25,7 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import warnings
+
 from sporco_tpu import cnvrep as cr
+from sporco_tpu import refopts
 from sporco_tpu.ops import fft as sf
 from sporco_tpu.models import bpdn as _bpdn
 from sporco_tpu.models import cbpdn as _cbpdn
@@ -38,6 +41,46 @@ __all__ = ["DictLearn", "BPDNDictLearn", "WeightedBPDNDictLearn",
            "ConvBPDNDictLearn", "ConvBPDNMaskDictLearn",
            "OnlineConvBPDNDictLearn", "OnlineConvBPDNMaskDictLearn"]
 
+
+
+
+def _ref_dl_opt(opt, subnames):
+    """Split a reference-style DictLearn option dict
+    (``sporco/dictlrn/dictlrn.py:213``, ``cbpdndl.py:270-290``) into
+    outer fields and inner-solver subtree dicts.  Unknown keys raise,
+    matching ``cdict`` semantics."""
+    d = dict(opt)
+    outer = {"max_iter": d.pop("MaxMainIter", None)}
+    for k in ("Verbose", "StatusHeader", "IterTimer", "Callback",
+              "DictSize"):
+        d.pop(k, None)
+    if d.pop("AccurateDFid", None):
+        warnings.warn("AccurateDFid is not supported; DFid is reported "
+                      "from the inner solver state", stacklevel=3)
+    subs = {n: d.pop(n, None) for n in subnames}
+    if d:
+        raise refopts.UnknownKeyError(
+            f"unknown DictLearn option keys {sorted(d)}")
+    return outer, subs
+
+
+def _sub_opts(cls, sub, current, **known_kw_out):
+    """Translate an inner-solver subtree dict to ``cls``'s native opts
+    (returned unchanged when ``sub`` is None or ``current`` was given
+    explicitly).  Model-level keys named in ``known_kw_out`` are
+    extracted into it; any other are rejected with a clear message."""
+    if sub is None or current is not None:
+        return current
+    opts, kw = refopts.translate(cls, sub)
+    for k in list(kw):
+        if k in known_kw_out:
+            known_kw_out[k] = kw.pop(k)
+    if kw:
+        raise refopts.UnknownKeyError(
+            f"inner option keys mapping to constructor arguments "
+            f"{sorted(kw)} are not configurable through the "
+            f"coordinator; construct the inner solver directly")
+    return opts
 
 class DictLearn:
     """Generic dictionary-learning alternation
@@ -101,6 +144,13 @@ class BPDNDictLearn(DictLearn):
 
     def __init__(self, D0, S, lmbda=None, opt=None, max_iter=100,
                  xopt=None, dopt=None, dtype=jnp.float64):
+        if isinstance(opt, dict):
+            # reference-style option tree (sporco/dictlrn/bpdndl.py:48)
+            outer, subs = _ref_dl_opt(opt, ("BPDN", "CMOD"))
+            if outer["max_iter"] is not None:
+                max_iter = outer["max_iter"]
+            xopt = _sub_opts(_bpdn.BPDN, subs["BPDN"], xopt)
+            dopt = _sub_opts(_cmod.CnstrMOD, subs["CMOD"], dopt)
         D0 = jnp.asarray(D0, dtype)
         S = jnp.asarray(S, dtype)
         D0 = _cmod.normalise(D0)
@@ -165,6 +215,20 @@ class ConvBPDNDictLearn(DictLearn):
                  dmethod="cns", max_iter=100, dimK=None, dimN=2,
                  xopt=None, dopt=None, zero_mean=False,
                  dtype=jnp.float64):
+        if isinstance(opt, dict):
+            # reference-style option tree (sporco/dictlrn/cbpdndl.py:270)
+            outer, subs = _ref_dl_opt(opt, ("CBPDN", "CCMOD"))
+            if outer["max_iter"] is not None:
+                max_iter = outer["max_iter"]
+            xcls = (_cbpdn.ConvBPDN if xmethod == "admm"
+                    else _pgm.ConvBPDN)
+            dcls = (_pgm.ConvCnstrMOD if dmethod == "pgm"
+                    else _ccmod.ConvCnstrMODBase)
+            xopt = _sub_opts(xcls, subs["CBPDN"], xopt)
+            zm = {"zero_mean": None}
+            dopt = _sub_opts(dcls, subs["CCMOD"], dopt, **zm)
+            if zm["zero_mean"] is not None:
+                zero_mean = zm["zero_mean"]
         D0 = jnp.asarray(D0, dtype)
         S = jnp.asarray(S, dtype)
         self.xmethod = xmethod
@@ -247,7 +311,26 @@ class ConvBPDNMaskDictLearn(ConvBPDNDictLearn):
 
     def __init__(self, D0, S, lmbda=None, W=None, opt=None,
                  xmethod="admm", dmethod="cns", max_iter=100, dimK=None,
-                 dimN=2, zero_mean=False, dtype=jnp.float64):
+                 dimN=2, zero_mean=False, dtype=jnp.float64,
+                 xopt=None, dopt=None):
+        if isinstance(opt, dict):
+            # reference-style option tree (sporco/dictlrn/cbpdndlmd.py)
+            outer, subs = _ref_dl_opt(opt, ("CBPDN", "CCMOD"))
+            if outer["max_iter"] is not None:
+                max_iter = outer["max_iter"]
+            xcls = (_cbpdn.ConvBPDNMaskDcpl if xmethod == "admm"
+                    else _pgm.ConvBPDNMask)
+            if dmethod == "pgm":
+                dcls = _pgm.ConvCnstrMODMask
+            else:
+                from sporco_tpu.models import ccmodmd as _ccmodmd_
+                dcls = _ccmodmd_.ConvCnstrMODMaskDcpl_Consensus
+            xopt = _sub_opts(xcls, subs["CBPDN"], xopt)
+            zm = {"zero_mean": None}
+            dopt = _sub_opts(dcls, subs["CCMOD"], dopt, **zm)
+            if zm["zero_mean"] is not None:
+                zero_mean = zm["zero_mean"]
+        self._xopt_user, self._dopt_user = xopt, dopt
         D0 = jnp.asarray(D0, dtype)
         S = jnp.asarray(S, dtype)
         self.xmethod = xmethod
@@ -260,18 +343,20 @@ class ConvBPDNMaskDictLearn(ConvBPDNDictLearn):
         D0u = cr.from_internal_D(D0i, cri0)
 
         if xmethod == "admm":
-            xopt = _cbpdn.ConvBPDNMaskDcpl.options(max_iter=1,
-                                                   rel_stop_tol=0.0)
+            xopt = (_cbpdn.ConvBPDNMaskDcpl.options(rel_stop_tol=0.0)
+                    if xopt is None else xopt).replace(max_iter=1)
             xstep = _cbpdn.ConvBPDNMaskDcpl(D0u, S, lmbda, W=W,
                                             opt=xopt, dimK=dimK,
                                             dimN=dimN, dtype=dtype)
         else:
-            xopt = _pgm.ConvBPDNMask.options(max_iter=1)
+            xopt = (_pgm.ConvBPDNMask.options() if xopt is None
+                    else xopt).replace(max_iter=1)
             xstep = _pgm.ConvBPDNMask(D0u, S, lmbda, W=W, opt=xopt,
                                       dimK=dimK, dimN=dimN, dtype=dtype)
 
         if dmethod == "pgm":
-            dopt = _pgm.ConvCnstrMODMask.options(max_iter=1)
+            dopt = (_pgm.ConvCnstrMODMask.options() if dopt is None
+                    else dopt).replace(max_iter=1)
             dstep = _pgm.ConvCnstrMODMask(None, S, dsz, W=W, opt=dopt,
                                           dimK=dimK, dimN=dimN, D0=D0u,
                                           zero_mean=zero_mean,
@@ -281,8 +366,11 @@ class ConvBPDNMaskDictLearn(ConvBPDNDictLearn):
         else:
             # masked dictionary update (ccmodmd)
             from sporco_tpu.models import ccmodmd as _ccmodmd
-            dopt = _ccmodmd.ConvCnstrMODMaskDcplOptions(
-                method=dmethod, max_iter=1, rel_stop_tol=0.0)
+            if dopt is None:
+                dopt = _ccmodmd.ConvCnstrMODMaskDcplOptions(
+                    method=dmethod, max_iter=1, rel_stop_tol=0.0)
+            else:
+                dopt = dopt.replace(max_iter=1)
             dstep = _ccmodmd.ConvCnstrMODMaskDcpl(
                 None, S, W, dsz, opt=dopt, method=dmethod, dimK=dimK,
                 dimN=dimN, D0=D0u, zero_mean=zero_mean, dtype=dtype)
@@ -344,6 +432,24 @@ class OnlineConvBPDNDictLearn:
     def __init__(self, D0, lmbda=None, opt=None, eta_a=10.0, eta_b=5.0,
                  zero_mean=False, dimN=2, cbpdn_opt=None,
                  dtype=jnp.float32):
+        if isinstance(opt, dict):
+            # reference-style option tree (sporco/dictlrn/onlinecdl.py:80)
+            d = dict(opt)
+            for k in ("Verbose", "StatusHeader", "IterTimer",
+                      "DictSize", "CUDA_CBPDN"):
+                d.pop(k, None)
+            if d.pop("DataType", None) is not None:
+                dtype = opt["DataType"]
+            eta_a = d.pop("eta_a", eta_a)
+            eta_b = d.pop("eta_b", eta_b)
+            zero_mean = d.pop("ZeroMean", zero_mean)
+            sub = d.pop("CBPDN", None)
+            if d:
+                raise refopts.UnknownKeyError(
+                    f"unknown online-CDL option keys {sorted(d)}")
+            xcls = (_cbpdn.ConvBPDNMaskDcpl if self.MASKED
+                    else _cbpdn.ConvBPDN)
+            cbpdn_opt = _sub_opts(xcls, sub, cbpdn_opt)
         self.D0 = jnp.asarray(D0, dtype)
         self.dsz = self.D0.shape
         self.lmbda = lmbda

@@ -39,6 +39,7 @@ from sporco_tpu import cnvrep as cr
 from sporco_tpu.ops import fft as sf
 from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel, device_sync
 from sporco_tpu.models.cbpdn import _max_abs_dhs
 from sporco_tpu.solvers.admm import ADMMOpts, AutoRhoOpts, IterStats
@@ -187,6 +188,20 @@ class ParConvBPDN(ADMMModel):
     reduced to the nearest divisor otherwise).  With ``mesh=``, the
     leading group axis is sharded over the mesh ``"filter"`` axis.
     """
+
+    # reference ParConvBPDN option keys (sporco/admm/parcbpdn.py:418-427)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "HighMemSolve": refopts.IGNORE,
+        "LinSolveCheck": refopts.WARN,
+        "NonNegCoef": ("k", "non_neg"),
+        "NoBndryCross": ("k", "no_bndry"),
+        "L1Weight": ("k", "wl1"),
+        "alpha": ("k", "alpha"),
+        "Y1": refopts.WARN,
+        "U1": refopts.WARN,
+    }
 
     @staticmethod
     def options(**kw):

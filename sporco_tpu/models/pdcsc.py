@@ -26,6 +26,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state, tree_norm)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel, default_rho_xi
 from sporco_tpu.utils.signal import gradient_filters
 
@@ -248,6 +249,17 @@ class ConvProdDictBPDN(ADMMModel):
     convolutional dictionary, ``B`` (C x R) a standard dictionary on
     the channel axis."""
 
+    # reference pdcsc option keys (ConvBPDN tree, sporco/admm/pdcsc.py)
+    REF_OPT_EXTRA = {
+        **refopts._ADMM_EQUAL,
+        "AuxVarObj": refopts.IGNORE,
+        "HighMemSolve": refopts.IGNORE,
+        "LinSolveCheck": refopts.WARN,
+        "NonNegCoef": refopts.WARN,
+        "NoBndryCross": refopts.WARN,
+        "L1Weight": ("k", "wl1"),
+    }
+
     VARIANT = "l1"
 
     @staticmethod
@@ -325,6 +337,8 @@ def _pd_reconstruct(D, B, X, Nv_dummy):
 class ConvProdDictBPDNJoint(ConvProdDictBPDN):
     r"""Product-dictionary CSC with joint sparsity over the B-basis
     axis (``sporco/admm/pdcsc.py:198``)."""
+
+    REF_OPT_EXTRA = {"L21Weight": ("k", "wl21")}
     VARIANT = "joint"
 
     def __init__(self, D, B, S, lmbda, mu=0.0, opt=None, **kw):
@@ -334,6 +348,8 @@ class ConvProdDictBPDNJoint(ConvProdDictBPDN):
 class ConvProdDictL1L1Grd(ConvProdDictBPDN):
     r"""Product-dictionary CSC with l1 fidelity and gradient penalty,
     optional mask (``sporco/admm/pdcsc.py:293``)."""
+
+    REF_OPT_EXTRA = {"GradWeight": ("k", "wgrd")}
     VARIANT = "l1l1grd"
 
     @staticmethod

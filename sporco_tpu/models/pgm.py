@@ -24,6 +24,7 @@ from sporco_tpu import cnvrep as cr
 from sporco_tpu.ops import fft as sf
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.pgm import PGMOpts, PGMProblem, pgm_init_state
+from sporco_tpu import refopts
 from sporco_tpu.models.common import PGMModel
 from sporco_tpu.models.cbpdn import (_max_abs_dhs, _reconstruct_jit,
                                      _internal_S_to_user, _apply_masks,
@@ -102,6 +103,12 @@ _BPDN_PGM = PGMProblem(setup=_bp_setup, grad_f=_bp_grad, prox_g=_bp_prox,
 class BPDN(PGMModel):
     r"""PGM/FISTA solver for BPDN (``sporco/pgm/bpdn.py:26``); default
     ``L = 500`` (``sporco/pgm/bpdn.py:88``)."""
+
+    # reference pgm.BPDN option keys (sporco/pgm/bpdn.py:87-88)
+    REF_OPT_EXTRA = {
+        "NonNegCoef": ("k", "non_neg"),
+        "L1Weight": ("k", "wl1"),
+    }
 
     WEIGHTED = False
 
@@ -244,6 +251,13 @@ _CBPDN_PGM = PGMProblem(setup=_pcb_setup, grad_f=_pcb_grad,
 class ConvBPDN(PGMModel):
     r"""CSC via PGM/FISTA (``sporco/pgm/cbpdn.py:29``); default
     ``L = 500``."""
+
+    # reference pgm.ConvBPDN option keys (sporco/pgm/cbpdn.py:95-98)
+    REF_OPT_EXTRA = {
+        "NonNegCoef": ("k", "non_neg"),
+        "NoBndryCross": ("k", "no_bndry"),
+        "L1Weight": ("k", "wl1"),
+    }
 
     MASKED = False
 
@@ -408,6 +422,12 @@ class CnstrMOD(PGMModel):
     (``sporco/pgm/cmod.py:24``): ``argmin_D (1/2)||D Z - S||_2^2``
     subject to unit-norm columns."""
 
+    # reference pgm.CnstrMOD option keys (sporco/pgm/cmod.py:86-87)
+    REF_OPT_EXTRA = {
+        "ZeroMean": ("k", "zero_mean"),
+        "NonNegCoef": ("k", "non_neg"),
+    }
+
     WEIGHTED = False
 
     @staticmethod
@@ -532,6 +552,9 @@ class ConvCnstrMOD(PGMModel):
     ``argmin_D (1/2) sum_k ||sum_m x_km * d_m - s_k||^2, d_m in C``.
     Default ``L = 14 K`` (``sporco/pgm/ccmod.py:221``).
     """
+
+    # reference pgm.ConvCnstrMOD option keys (sporco/pgm/ccmod.py:93)
+    REF_OPT_EXTRA = {"ZeroMean": ("k", "zero_mean")}
 
     MASKED = False
 

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel
 
 __all__ = ["RobustPCA"]
@@ -66,6 +67,9 @@ class RobustPCA(ADMMModel):
     r"""Robust PCA: low-rank + sparse decomposition.  ``solve`` returns
     ``(X, Y)`` (low-rank, sparse), like the reference
     (``sporco/admm/rpca.py:160``)."""
+
+    # reference RobustPCA option keys (sporco/admm/rpca.py:84-88)
+    REF_OPT_EXTRA = {"fEvalX": refopts.IGNORE, "gEvalY": refopts.IGNORE}
 
     @staticmethod
     def options(**kw):

@@ -19,6 +19,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel
 
 __all__ = ["SplineL1"]
@@ -86,6 +87,13 @@ _SPLINE = ADMMProblem(setup=_setup, xstep=_xstep, ystep=_ystep,
 
 class SplineL1(ADMMModel):
     r"""l1-spline: robust smoothing under a Laplacian penalty."""
+
+    # reference SplineL1 option keys (sporco/admm/spline.py:97-103)
+    REF_OPT_EXTRA = {
+        "gEvalY": ("k", "g_eval_y"),
+        "DFidWeight": ("k", "Wdf"),
+        "LinSolveCheck": ("k", "lin_check"),
+    }
 
     @staticmethod
     def options(**kw):

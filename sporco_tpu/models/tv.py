@@ -28,6 +28,7 @@ from sporco_tpu.ops import linalg as sl
 from sporco_tpu.ops import prox as sp
 from sporco_tpu.solvers.admm import (ADMMOpts, AutoRhoOpts, ADMMProblem,
                                      init_state, tree_norm)
+from sporco_tpu import refopts
 from sporco_tpu.models.common import ADMMModel
 from sporco_tpu.utils.signal import grad, gradT
 from sporco_tpu.utils.array import zpad
@@ -383,6 +384,13 @@ _TVL1DCN = ADMMProblem(
 # --- model classes ---------------------------------------------------------
 
 class _TVBase(ADMMModel):
+    # reference TVL1/TVL2 option keys (sporco/admm/tvl2.py:101-125)
+    REF_OPT_EXTRA = {
+        "gEvalY": ("k", "g_eval_y"),
+        "fEvalX": refopts.IGNORE,
+        "DFidWeight": ("k", "Wdf"),
+        "TVWeight": ("k", "Wtv"),
+    }
 
     def getmin(self):
         return self.state.X
@@ -396,6 +404,11 @@ class TVL2Denoise(_TVBase):
     lmbda || W_tv sqrt(sum_i (G_i x)^2) ||_1``
     (``sporco/admm/tvl2.py:27``).  ``axes`` selects the TV axes;
     ``caxis`` enables vector TV over a channel axis."""
+
+    REF_OPT_EXTRA = {
+        "GSTol": ("k", "gs_tol"),
+        "MaxGSIter": ("k", "gs_max_iter"),
+    }
 
     PROBLEM = _TVL2DEN
     L1_FID = False
@@ -474,6 +487,8 @@ class TVL2Deconv(_TVBase):
     lmbda || W_tv sqrt(sum_i (G_i x)^2) ||_1`` with circular
     convolution operator ``H`` given by kernel ``A``
     (``sporco/admm/tvl2.py:377``)."""
+
+    REF_OPT_EXTRA = {"LinSolveCheck": refopts.WARN}
 
     PROBLEM = _TVL2DCN
 

@@ -349,8 +349,9 @@ def consensus_eligible(cri, dsz, dtype, masked):
 # ---------------------------------------------------------------------------
 # The fused driver
 
-@partial(jax.jit, static_argnums=(0, 1, 4))
-def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high"):
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
+                     ptail_mode=(False, False)):
     """Jitted fused solve call: identical iteration semantics to the
     generic driver (``solvers/admm.py:_admm_run``) specialised to the
     single-channel l1 CSC problem, with the spatial Woodbury x-step."""
@@ -415,9 +416,12 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high"):
 
     # opt-in one-pass Pallas tail (relax/prox/dual/reductions); OFF by
     # default -- XLA's fusion measured faster on v5e (see
-    # ops/pallas_csc_tail.py docstring)
+    # ops/pallas_csc_tail.py docstring).  The (enabled, interpret)
+    # flags arrive as the static ``ptail_mode`` argument so that
+    # toggling them invalidates the jit cache (they would otherwise be
+    # silently baked into the first trace).
     from sporco_tpu.ops import pallas_csc_tail as ptail
-    use_ptail = (ptail.enabled
+    use_ptail = (ptail_mode[0]
                  and not cfg.ams_nimp and jnp.ndim(wl1p) <= 1
                  and ptail.tail_eligible(K * (n0 // PS) * (n1 // PS),
                                          PS * PS * M))
@@ -615,8 +619,10 @@ def _rfl2norm2_planar(er, ei, n1):
 def cbpdn_solve(cfg, params, opts, state):
     """Host wrapper mirroring :func:`sporco_tpu.solvers.admm.admm_solve`
     for the fused driver."""
+    from sporco_tpu.ops import pallas_csc_tail as ptail
     return _cbpdn_fused_run(cfg, opts, params, state,
-                            _MATMUL_PRECISION)
+                            _MATMUL_PRECISION,
+                            (ptail.enabled, ptail.interpret))
 
 
 # ---------------------------------------------------------------------------

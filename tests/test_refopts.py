@@ -1,0 +1,193 @@
+"""Reference-style option-dict acceptance on model constructors.
+
+The reference API configures every solver with nested plain dicts
+(``sporco/cdict.py:55``); these tests check that the same dicts
+construct equivalent solvers here (solver-level keys -> native opts,
+model-level keys -> constructor kwargs, unknown keys raise -- matching
+``cdict.check``, ``sporco/cdict.py:229-256``).
+"""
+
+import numpy as np
+import pytest
+
+from sporco_tpu import refopts
+
+
+def _prob(N=16, M=8, seed=0):
+    rng = np.random.default_rng(seed)
+    D = rng.standard_normal((4, 4, M)).astype(np.float32)
+    S = rng.standard_normal((N, N)).astype(np.float32)
+    return D, S
+
+
+class TestADMMTranslation:
+
+    def test_solver_level_keys(self):
+        from sporco_tpu.models.bpdn import BPDN
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((8, 16)).astype(np.float32)
+        s = rng.standard_normal(8).astype(np.float32)
+        b = BPDN(D, s, 0.1, opt={"MaxMainIter": 7, "RelStopTol": 1e-4,
+                                 "RelaxParam": 1.5, "rho": 2.0,
+                                 "AutoRho": {"Enabled": False,
+                                             "Period": 5}})
+        assert b.opts.max_iter == 7
+        assert b.opts.rel_stop_tol == pytest.approx(1e-4)
+        assert b.opts.relax_param == pytest.approx(1.5)
+        assert not b.opts.auto_rho.enabled
+        assert b.opts.auto_rho.period == 5
+        assert float(b.state.rho) == pytest.approx(2.0)
+
+    def test_model_level_keys(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        D, S = _prob()
+        b = ConvBPDN(D, S, 0.1, opt={"MaxMainIter": 3,
+                                     "NonNegCoef": True,
+                                     "NoBndryCross": True,
+                                     "L1Weight": 2.0,
+                                     "AuxVarObj": True})
+        assert b.cfg.non_neg and b.cfg.no_bndry
+        assert not b.cfg.obj_from_x        # AuxVarObj True -> eval on Y
+        assert float(np.ravel(b.params["wl1"])[0]) == pytest.approx(2.0)
+
+    def test_unknown_key_raises(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        D, S = _prob()
+        with pytest.raises(refopts.UnknownKeyError):
+            ConvBPDN(D, S, 0.1, opt={"NoSuchOption": 1})
+        with pytest.raises(refopts.UnknownKeyError):
+            ConvBPDN(D, S, 0.1, opt={"AutoRho": {"Bogus": 1}})
+
+    def test_none_values_are_defaults(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        D, S = _prob()
+        b = ConvBPDN(D, S, 0.1, opt={"rho": None, "DataType": None,
+                                     "Y0": None, "Callback": None,
+                                     "MaxMainIter": 4})
+        assert b.opts.max_iter == 4
+
+    def test_dict_matches_native_trajectory(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        D, S = _prob()
+        nat = ConvBPDN(D, S, 0.1, opt=ConvBPDN.options(
+            max_iter=10, rel_stop_tol=0.0))
+        ref = ConvBPDN(D, S, 0.1, opt={"MaxMainIter": 10,
+                                       "RelStopTol": 0.0})
+        Xa = np.asarray(nat.solve())
+        Xb = np.asarray(ref.solve())
+        assert np.array_equal(Xa, Xb)
+
+    def test_explicit_kwarg_wins_over_dict(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        D, S = _prob()
+        b = ConvBPDN(D, S, 0.1, opt={"MaxMainIter": 3, "L1Weight": 2.0},
+                     wl1=3.0)
+        assert float(np.ravel(b.params["wl1"])[0]) == pytest.approx(3.0)
+
+    def test_ignored_and_warn_keys(self):
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        D, S = _prob()
+        # display-only plumbing: accepted silently
+        ConvBPDN(D, S, 0.1, opt={"MaxMainIter": 2, "StatusHeader": True,
+                                 "IterTimer": "solve",
+                                 "HighMemSolve": True})
+        with pytest.warns(UserWarning):
+            ConvBPDN(D, S, 0.1, opt={"MaxMainIter": 2,
+                                     "Callback": lambda o: None})
+
+    def test_tv_gs_keys(self):
+        from sporco_tpu.models.tv import TVL2Denoise
+        rng = np.random.default_rng(0)
+        S = rng.standard_normal((16, 16)).astype(np.float32)
+        t = TVL2Denoise(S, 0.1, opt={"MaxMainIter": 3, "MaxGSIter": 4,
+                                     "GSTol": 1e-6, "DFidWeight": 2.0,
+                                     "TVWeight": 0.5, "gEvalY": False})
+        assert t.cfg.gs_max_iter == 4
+        assert not t.cfg.g_eval_y
+
+    def test_ccmod_cg_subtree(self):
+        from sporco_tpu.models.ccmod import ConvCnstrMOD
+        rng = np.random.default_rng(0)
+        Z = rng.standard_normal((16, 16, 1, 2, 4)).astype(np.float32)
+        S = rng.standard_normal((16, 16, 2)).astype(np.float32)
+        c = ConvCnstrMOD(Z, S, (4, 4, 4), method="cg",
+                         opt={"MaxMainIter": 2, "ZeroMean": True,
+                              "CG": {"StopTol": 1e-4, "MaxIter": 20}})
+        assert c.cfg.zero_mean
+        assert c.cfg.cg_tol == pytest.approx(1e-4)
+
+
+class TestPGMTranslation:
+
+    def test_strategy_objects(self):
+        from sporco_tpu.models.pgm import ConvBPDN
+
+        class MomentumLinear:        # stand-in for the reference class
+            a = 40.0
+
+        class BacktrackRobust:
+            gamma_d = 0.8
+            gamma_u = 2.5
+            maxiter = 30
+
+        D, S = _prob()
+        b = ConvBPDN(D, S, 0.1, opt={"MaxMainIter": 4, "L": 200.0,
+                                     "Momentum": MomentumLinear(),
+                                     "Backtrack": BacktrackRobust(),
+                                     "Monotone": True,
+                                     "L1Weight": 1.5})
+        assert b.opts.momentum == "linear"
+        assert b.opts.momentum_a == pytest.approx(40.0)
+        assert b.opts.backtrack == "robust"
+        assert b.opts.bt_gamma_u == pytest.approx(2.5)
+        assert b.opts.monotone
+        assert b.opts.L == pytest.approx(200.0)
+
+    def test_autostop_subtree(self):
+        from sporco_tpu.models.pgm import BPDN
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((8, 16)).astype(np.float32)
+        s = rng.standard_normal(8).astype(np.float32)
+        b = BPDN(D, s, 0.1, opt={"MaxMainIter": 4,
+                                 "AutoStop": {"Enabled": True,
+                                              "Tau0": 1e-3}})
+        assert b.opts.auto_stop
+        assert b.opts.auto_stop_tau0 == pytest.approx(1e-3)
+
+
+class TestDictLearnTranslation:
+
+    def test_cdl_subtrees(self):
+        from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+        rng = np.random.default_rng(0)
+        D0 = rng.standard_normal((4, 4, 6)).astype(np.float32)
+        S = rng.standard_normal((16, 16, 3)).astype(np.float32)
+        d = ConvBPDNDictLearn(
+            D0, S, 0.1, dtype=np.float32,
+            opt={"MaxMainIter": 3, "CBPDN": {"rho": 5.0},
+                 "CCMOD": {"ZeroMean": True}})
+        assert d.max_iter == 3
+        assert float(d.xstep.state.rho) == pytest.approx(5.0)
+
+    def test_unknown_outer_key(self):
+        from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+        rng = np.random.default_rng(0)
+        D0 = rng.standard_normal((4, 4, 6)).astype(np.float32)
+        S = rng.standard_normal((16, 16, 3)).astype(np.float32)
+        with pytest.raises(refopts.UnknownKeyError):
+            ConvBPDNDictLearn(D0, S, 0.1, opt={"Nope": 1},
+                              dtype=np.float32)
+
+
+class TestAccelDicts:
+
+    def test_accel_entry_points(self):
+        from sporco_tpu import accel
+        D, S = _prob()
+        W = np.ones((16, 16), np.float32)
+        X = accel.cbpdn(D, S, 0.1, opt={"MaxMainIter": 4,
+                                        "AutoRho": {"Enabled": False}})
+        assert X.shape[-1] == D.shape[-1]
+        X = accel.cbpdnmsk(D, S, W, 0.1, opt={"MaxMainIter": 3,
+                                              "L1Weight": 2.0})
+        assert X.shape[-1] == D.shape[-1]
