@@ -199,15 +199,11 @@ def _conv(P, ker, prec):
         precision=prec)
 
 
-def _conv_fwd_mm(Pyu, Wf, J0, J1, ps, prec):
-    """Forward polyphase conv as ONE dense matmul plus circular rolls of
-    the small per-tap outputs.  ``out[p] = sum_k ker_k P[p + k - J]``
-    becomes ``sum_k roll(P @ W_k, J - k)``; the big operand ``Pyu`` is
-    read exactly once (the tap-structured ``lax.conv`` re-reads it per
-    tap, measured ~3x slower)."""
-    K, p0, p1, C = Pyu.shape
+def _fwd_combine(o, J0, J1, ps):
+    """Epilogue of the forward polyphase conv: roll-and-sum the small
+    per-tap matmul outputs ``o`` of shape (K, p0, p1, T*ps*ps)."""
+    K, p0, p1, _ = o.shape
     T = (J0 + 1) * (J1 + 1)
-    o = jnp.einsum("kpqc,cd->kpqd", Pyu, Wf, precision=prec)
     o = o.reshape(K, p0, p1, T, ps * ps)
     out = 0.0
     for kx in range(J0 + 1):
@@ -218,15 +214,31 @@ def _conv_fwd_mm(Pyu, Wf, J0, J1, ps, prec):
     return out
 
 
-def _conv_adj_mm(Gp, Wa, J0, J1, prec):
-    """Adjoint polyphase conv as rolled-input concat + ONE dense matmul:
-    ``out[p] = sum_k ker_k G[p + k]`` = ``concat_k roll(G, -k) @ W``;
-    the big output is written exactly once."""
+def _conv_fwd_mm(Pyu, Wf, J0, J1, ps, prec):
+    """Forward polyphase conv as ONE dense matmul plus circular rolls of
+    the small per-tap outputs.  ``out[p] = sum_k ker_k P[p + k - J]``
+    becomes ``sum_k roll(P @ W_k, J - k)``; the big operand ``Pyu`` is
+    read exactly once (the tap-structured ``lax.conv`` re-reads it per
+    tap, measured ~3x slower)."""
+    o = jnp.einsum("kpqc,cd->kpqd", Pyu, Wf, precision=prec)
+    return _fwd_combine(o, J0, J1, ps)
+
+
+def _adj_rolls(Gp, J0, J1):
+    """Prologue of the adjoint polyphase conv: concat of the rolled
+    single-channel operand (small)."""
     gs = []
     for kx in range(J0 + 1):
         for ky in range(J1 + 1):
             gs.append(jnp.roll(Gp, (-kx, -ky), axis=(1, 2)))
-    gc = jnp.concatenate(gs, axis=-1)
+    return jnp.concatenate(gs, axis=-1)
+
+
+def _conv_adj_mm(Gp, Wa, J0, J1, prec):
+    """Adjoint polyphase conv as rolled-input concat + ONE dense matmul:
+    ``out[p] = sum_k ker_k G[p + k]`` = ``concat_k roll(G, -k) @ W``;
+    the big output is written exactly once."""
+    gc = _adj_rolls(Gp, J0, J1)
     return jnp.einsum("kpqc,cd->kpqd", gc, Wa, precision=prec)
 
 
@@ -351,7 +363,7 @@ def consensus_eligible(cri, dsz, dtype, masked):
 
 @partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
-                     ptail_mode=(False, False)):
+                     kern_mode=(False, False, True, False)):
     """Jitted fused solve call: identical iteration semantics to the
     generic driver (``solvers/admm.py:_admm_run``) specialised to the
     single-channel l1 CSC problem, with the spatial Woodbury x-step."""
@@ -414,17 +426,46 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
     else:
         Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
 
-    # opt-in one-pass Pallas tail (relax/prox/dual/reductions); OFF by
-    # default -- XLA's fusion measured faster on v5e (see
-    # ops/pallas_csc_tail.py docstring).  The (enabled, interpret)
-    # flags arrive as the static ``ptail_mode`` argument so that
-    # toggling them invalidates the jit cache (they would otherwise be
-    # silently baked into the first trace).
+    # Kernel selection.  ``kern_mode`` is the static tuple
+    # (ptail.enabled, ptail.interpret, pkiter.enabled,
+    # pkiter.interpret) so that toggling any flag invalidates the jit
+    # cache (they would otherwise be silently baked into the first
+    # trace).
+    #
+    # Preferred: the one-pass Pallas ITERATION kernel
+    # (ops/pallas_csc_iter.py) -- adjoint matmul + x-step combine +
+    # relax/prox/dual + reductions + next forward matmul in a single
+    # pass over the state (measured 1.9 -> ~1.0 ms/iteration on the
+    # 512x512x64 benchmark).  Falls back to the XLA op sequence (with
+    # the optional legacy Pallas tail) for configurations the kernel
+    # does not cover.
     from sporco_tpu.ops import pallas_csc_tail as ptail
-    use_ptail = (ptail_mode[0]
+    from sporco_tpu.ops import pallas_csc_iter as pki
+    pos = K * (n0 // PS) * (n1 // PS)
+    C = PS * PS * M
+    Ta = (js[2] + 1) * (js[3] + 1) * PS * PS
+    use_pk = (kern_mode[2]
+              and (kern_mode[3] or jax.default_backend()
+                   in ("tpu", "axon"))
+              and cfg.variant in ("l1", "elastic")
+              and not cfg.ams_nimp and jnp.ndim(wl1p) <= 1
+              and pki.iter_supported(pos, C, Ta))
+    use_ptail = (kern_mode[0] and not use_pk
                  and not cfg.ams_nimp and jnp.ndim(wl1p) <= 1
                  and ptail.tail_eligible(K * (n0 // PS) * (n1 // PS),
                                          PS * PS * M))
+    if use_pk:
+        Wa_sp = pki.split_bf16_3(Wa)
+        Wf_sp = pki.split_bf16_3(Wf)
+        # Per-dot precision (pass counts of the bf16-split matmuls):
+        # R1 feeds the x-step residual ``Sf - rfft(D yu)``, whose
+        # cancellation near convergence amplifies relative error, so it
+        # gets the f32-faithful 6-pass; the adjoint and the
+        # rescale-correction R2 are accuracy-insensitive at 3-pass
+        # (measured: recovery rrs 2.4e-4 == the XLA f32 path, vs
+        # 1.4e-3 with R1 at 3-pass).  "mixed" drops R1 to single-pass.
+        fwd_passes = 1 if prec_mode == "mixed" else 6
+        adj_passes = 3
 
     k0 = state.k
     nc = math.sqrt(K * M * n0 * n1)
@@ -575,21 +616,133 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
                         extra=st.extra)
         return (st2, usn)
 
+    def _norm_residuals(rnrm, snrm, rn, sn):
+        """Normalised (or std) residuals + tolerances
+        (sporco/admm/admm.py:462-486)."""
+        if ar.std_residuals:
+            r, s = rnrm, snrm
+            epri = nc * opts.abs_stop_tol + rn * opts.rel_stop_tol
+            edua = nx * opts.abs_stop_tol + sn * opts.rel_stop_tol
+        else:
+            rn_ = jnp.where(rn == 0.0, 1.0, rn)
+            sn_ = jnp.where(sn == 0.0, 1.0, sn)
+            r = rnrm / rn_
+            s = snrm / sn_
+            epri = nc * opts.abs_stop_tol / rn_ + opts.rel_stop_tol
+            edua = nx * opts.abs_stop_tol / sn_ + opts.rel_stop_tol
+        return r, s, epri, edua
+
+    def body_pk(carry):
+        # Restructured iteration around the one-pass Pallas kernel
+        # (ops/pallas_csc_iter.py): the small spectral glue (FFT pair,
+        # per-bin solve, rolls) runs in XLA; everything touching the
+        # packed state arrays happens inside the kernel, including the
+        # NEXT iteration's forward matmul product ``R1``.
+        st, us, R1 = carry
+        PY, PUr = st.Y, st.U          # true dual = us * PUr
+        rho = st.rho
+        if mu is None:
+            beta, scale = rho, jnp.float32(1.0)
+        else:
+            beta = rho + mu
+            scale = rho / beta
+        jf0, jf1, ja0, ja1 = js
+        # forward product, rescale-corrected by linearity:
+        # (Y - us*U) @ Wf = R1 + (1-us)*R2 -- small-tensor math only
+        # (see pallas_csc_iter docstring for why not a lax.cond)
+        R1p, R2p = R1
+        o2 = R1p + (1.0 - us) * R2p
+        o4 = o2.reshape(K, n0 // PS, n1 // PS, -1)
+        R = poly_unpack(_fwd_combine(o4, jf0, jf1, PS))
+        rf = sf.rfftn(R, axes=axes)
+        rfr, rfi = scale * jnp.real(rf), scale * jnp.imag(rf)
+        den = 1.0 / (DHD[None] + beta)
+        gr = (sfr - rfr) * den
+        gi = (sfi - rfi) * den
+        G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
+        G2 = _adj_rolls(poly_pack(G), ja0, ja1)
+        thr = (lmbda / rho) * wl1p
+        PX2, PY2, PU2, R1n, R2n, sums = pki.csc_iter(
+            G2.reshape(pos, Ta), PY.reshape(pos, C),
+            PUr.reshape(pos, C), Wa_sp, Wf_sp, thr, wl1p, rlx, us,
+            scale, nonneg=cfg.non_neg, fwd_passes=fwd_passes,
+            adj_passes=adj_passes, r2_passes=3)
+        pshape = PY.shape
+        PX = PX2.reshape(pshape)
+        PYn = PY2.reshape(pshape)
+        PUn = PU2.reshape(pshape)
+        rnrm = jnp.sqrt(sums[0])
+        snrm = rho * jnp.sqrt(sums[1])
+        rn = jnp.sqrt(jnp.maximum(sums[2], sums[3]))
+        sn = rho * jnp.sqrt(sums[4])
+        r, s, epri, edua = _norm_residuals(rnrm, snrm, rn, sn)
+
+        # objective (fEvalX): dfd from the free spectral identity
+        # DXf - Sf = scale*rf + DHD*g - Sf; l1/l2 terms from the
+        # kernel's fused sums
+        nobj = 4 if mu is None else 5
+        if opts.fast_solve:
+            objv = (jnp.nan,) * nobj
+        else:
+            rl1 = sums[5]
+            er = rfr + DHD[None] * gr - sfr
+            ei = rfi + DHD[None] * gi - sfi
+            dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
+            if mu is None:
+                objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
+            else:
+                rl2 = 0.5 * sums[2]
+                objv = (dfd + lmbda * rl1 + mu * rl2, dfd, rl1, rl2,
+                        jnp.nan)
+
+        row_idx = st.k - k0
+        row = jnp.stack([jnp.float32(st.k)]
+                        + [jnp.float32(o) for o in objv]
+                        + [jnp.float32(r), jnp.float32(s),
+                           jnp.float32(epri), jnp.float32(edua),
+                           jnp.float32(st.rho)])
+        stats = lax.dynamic_update_slice(
+            st.stats, row[None, :], (row_idx, jnp.zeros_like(row_idx)))
+
+        if opts.verbose:
+            jax.debug.print(
+                "it {k}  obj {o:.4e}  r {r:.3e}  s {s:.3e}  rho {rho:.3e}",
+                k=st.k, o=row[1], r=r, s=s, rho=st.rho)
+
+        rho_new, usn = _update_rho(ar, st.k, r, s, rho, st.rho_xi,
+                                   jnp.float32(1.0))
+        st2 = ADMMState(X=PX, Y=PYn, U=PUn, rho=rho_new,
+                        rho_xi=st.rho_xi, k=st.k + 1, r=r, s=s,
+                        epri=epri, edua=edua, stats=stats,
+                        extra=st.extra)
+        return (st2, usn, (R1n, R2n))
+
     def body_unrolled(carry):
         # amortise the per-step while_loop overhead (~0.3 ms on the
         # relay backend) over UNROLL exactly-guarded iterations: each
         # inner iteration is skipped via lax.cond once converged, so
         # semantics are identical to a per-iteration loop
-        carry = body(carry)
+        step = body_pk if use_pk else body
+        carry = step(carry)
         for _ in range(UNROLL - 1):
-            carry = lax.cond(converged(carry[0]), lambda c: c, body,
+            carry = lax.cond(converged(carry[0]), lambda c: c, step,
                              carry)
         return carry
 
     st0 = state._replace(X=pack_state(state.X), Y=pack_state(state.Y),
                          U=pack_state(state.U))
-    stf, usf = lax.while_loop(lambda c: cond(c[0]), body_unrolled,
-                              (st0, jnp.float32(1.0)))
+    if use_pk:
+        R10 = jnp.einsum("kpqc,cd->kpqd", st0.Y - st0.U, Wf,
+                         precision=prec_fwd).reshape(pos, -1)
+        R20 = jnp.einsum("kpqc,cd->kpqd", st0.U, Wf,
+                         precision=prec_fwd).reshape(pos, -1)
+        stf, usf, _ = lax.while_loop(lambda c: cond(c[0]),
+                                     body_unrolled,
+                                     (st0, jnp.float32(1.0),
+                                      (R10, R20)))
+    else:
+        stf, usf = lax.while_loop(lambda c: cond(c[0]), body_unrolled,
+                                  (st0, jnp.float32(1.0)))
     shp = state.Y.shape
     return stf._replace(X=unpack_state(stf.X, M).reshape(shp),
                         Y=unpack_state(stf.Y, M).reshape(shp),
@@ -620,9 +773,11 @@ def cbpdn_solve(cfg, params, opts, state):
     """Host wrapper mirroring :func:`sporco_tpu.solvers.admm.admm_solve`
     for the fused driver."""
     from sporco_tpu.ops import pallas_csc_tail as ptail
+    from sporco_tpu.ops import pallas_csc_iter as pki
     return _cbpdn_fused_run(cfg, opts, params, state,
                             _MATMUL_PRECISION,
-                            (ptail.enabled, ptail.interpret))
+                            (ptail.enabled, ptail.interpret,
+                             pki.enabled, pki.interpret))
 
 
 # ---------------------------------------------------------------------------

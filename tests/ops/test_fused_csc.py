@@ -270,3 +270,102 @@ class TestFusedPGM:
         b = mp.ConvBPDN(D, S, 0.1, opt=opt, fused=True)
         Xa, Xb = np.asarray(a.solve()), np.asarray(b.solve())
         assert np.abs(Xa - Xb).max() < 1e-3 * np.abs(Xa).max()
+
+
+class TestPallasIterKernel:
+    """The one-pass Pallas iteration kernel (ops/pallas_csc_iter.py)
+    must reproduce the XLA fused path's trajectory; exercised through
+    the Pallas interpreter on CPU."""
+
+    def _run(self, **model_kw):
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        D, S = _problem(N=32, M=4)
+        opt = model_kw.pop("opt", None) or ConvBPDN.options(
+            max_iter=15, rel_stop_tol=0.0)
+        cls = model_kw.pop("cls", ConvBPDN)
+        prev = pki.enabled
+        pki.enabled = False
+        try:
+            a = cls(D, S, 0.1, opt=opt, fused=True, **model_kw)
+            Xa = np.asarray(a.solve())
+            ia = a.getitstat()
+        finally:
+            pki.enabled = prev
+        pki.enabled = True
+        pki.interpret = True
+        try:
+            b = cls(D, S, 0.1, opt=opt, fused=True, **model_kw)
+            Xb = np.asarray(b.solve())
+            ib = b.getitstat()
+        finally:
+            pki.interpret = False
+        return Xa, Xb, ia, ib
+
+    def _check(self, Xa, Xb, ia, ib, xtol=2e-4):
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert np.abs(Xa - Xb).max() < xtol * scale
+        assert np.allclose(ia.ObjFun, ib.ObjFun, rtol=1e-4)
+        assert np.allclose(ia.Rho, ib.Rho, rtol=1e-4)
+        assert np.allclose(ia.PrimalRsdl, ib.PrimalRsdl, rtol=1e-3,
+                           atol=1e-6)
+
+    def test_matches_xla_path(self):
+        self._check(*self._run())
+
+    def test_autorho_rescale(self):
+        # AutoRho Period 1 with AutoScaling: the R1/R2 linearity
+        # correction must reproduce the rescaled-dual trajectory
+        opt = ConvBPDN.options(max_iter=25, rel_stop_tol=0.0)
+        assert opt.auto_rho.enabled and opt.auto_rho.period == 1
+        Xa, Xb, ia, ib = self._run(opt=opt)
+        assert not np.allclose(ia.Rho[0], ia.Rho[-1])   # rho moved
+        self._check(Xa, Xb, ia, ib)
+
+    def test_nonneg_and_weights(self):
+        self._check(*self._run(
+            non_neg=True,
+            wl1=np.linspace(0.5, 2.0, 4).astype(np.float32)
+            .reshape(1, 1, 1, 4)))
+
+    def test_elastic_net(self):
+        from sporco_tpu.models.cbpdn import ConvElasticNet
+        Xa, Xb, ia, ib = self._run(cls=ConvElasticNet, mu=0.05)
+        self._check(Xa, Xb, ia, ib)
+
+    def test_kernel_numerics_direct(self):
+        # direct single-call comparison against the exact f32 math
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        rng = np.random.default_rng(0)
+        pos, C, T = 64, 256, 128
+        G2 = jnp.asarray(rng.standard_normal((pos, T)).astype("f"))
+        Y = jnp.asarray(rng.standard_normal((pos, C)).astype("f"))
+        U = jnp.asarray(rng.standard_normal((pos, C)).astype("f"))
+        Wa = rng.standard_normal((T, C)).astype("f") * 0.1
+        Wf = rng.standard_normal((C, T)).astype("f") * 0.1
+        rlx, us, scale, thr = 1.8, 0.9, 0.8, 0.05
+        pki.interpret = True
+        try:
+            px, yn, un, r1, r2, sums = pki.csc_iter(
+                G2, Y, U, pki.split_bf16_3(jnp.asarray(Wa)),
+                pki.split_bf16_3(jnp.asarray(Wf)), thr, 1.0, rlx, us,
+                scale)
+        finally:
+            pki.interpret = False
+        a = np.asarray(G2) @ Wa
+        u = us * np.asarray(U)
+        pxr = scale * (np.asarray(Y) - u) + a
+        ax = rlx * pxr + (1 - rlx) * np.asarray(Y)
+        axu = ax + u
+        ynr = np.sign(axu) * np.maximum(np.abs(axu) - thr, 0.0)
+        unr = u + ax - ynr
+        # default pass split: adjoint 3-pass (bf16 HIGH, ~5e-6 rel);
+        # R1 6-pass (f32-faithful); R2 3-pass
+        assert np.abs(np.asarray(px) - pxr).max() < 1e-4
+        assert np.abs(np.asarray(yn) - ynr).max() < 1e-4
+        assert np.abs(np.asarray(r1) - (ynr - unr) @ Wf).max() < 5e-4
+        assert np.abs(np.asarray(r2) - unr @ Wf).max() < 5e-3
+        ref_sums = [((pxr - ynr) ** 2).sum(),
+                    ((ynr - np.asarray(Y)) ** 2).sum(),
+                    (pxr ** 2).sum(), (ynr ** 2).sum(),
+                    (unr ** 2).sum(), np.abs(pxr).sum()]
+        assert np.allclose(np.asarray(sums), ref_sums, rtol=1e-3)
