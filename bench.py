@@ -101,6 +101,9 @@ def _tpu_run(D, S, lmbda, max_iter):
         "time_s": t_solve,
         "iters_per_s": ips,
         "compile_s": compile_and_solve - t_solve,
+        # a stale committed compile cache is a bug, not a fact of life:
+        # make it visible in the JSON instead of silently costing 100+ s
+        "cache_warm": bool(compile_and_solve - t_solve < 15.0),
         "final_primal_rsdl": float(its.PrimalRsdl[-1]),
         "final_dual_rsdl": float(its.DualRsdl[-1]),
         "objective": float(its.ObjFun[-1]),
@@ -247,16 +250,19 @@ def _bench_rpca():
     Ssp = (rng.random((N, N)) > 0.9) * rng.standard_normal((N, N)) * 5
     S = (L + Ssp).astype(np.float32)
     opt = rpca.RobustPCA.options(max_iter=200, rel_stop_tol=1e-3)
-    b = rpca.RobustPCA(S, opt=opt)
+    # randomized-SVD nuclear prox (rank-bounded subspace iteration,
+    # ops/prox.py:prox_nuclear): exact for this low-rank target,
+    # replaces the full-SVD bottleneck of the reference's x-step
+    b = rpca.RobustPCA(S, opt=opt, svd_rank=16)
     b.solve()
-    b2 = rpca.RobustPCA(S, opt=opt)
+    b2 = rpca.RobustPCA(S, opt=opt, svd_rank=16)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
-    flops = 20 * N * N * N          # SVD dominates, ~O(20 N^3)
+    flops = 6 * 2 * N * N * 26 * 2  # sketch/subspace matmuls dominate
     ips = n / t
     return {"metric": "RobustPCA 512x512 iters/s",
             "value": round(ips, 2), "unit": "iters/s", "iters": n,
-            "time_s": round(t, 4),
+            "time_s": round(t, 4), "svd": "randomized rank-16",
             "tflops_per_s": round(ips * flops / 1e12, 3)}
 
 
@@ -374,6 +380,29 @@ def _bench_cdlcns_scaling():
                     "N devices / same at 1 device"}
 
 
+def _ref_vs_baseline(name, out):
+    """Populate ``vs_baseline`` from the committed reference-CPU
+    measurements (``bench_cpuref.py`` -> ``bench_ref.json``)."""
+    cfgs = _load_ref().get("configs", {})
+    ref = cfgs.get(name)
+    if not ref:
+        out.setdefault("vs_baseline", None)
+        return out
+    ref_ips = ref["iters_per_s"]
+    if name == "cbpdn_batch":
+        # compare images-to-tolerance/s assuming the reference needs
+        # the same iteration count under the same stopping rule
+        ref_val = (ref["K"] / (out["iters"] / ref_ips)
+                   if out.get("iters") else None)
+        out["vs_baseline"] = (round(out["value"] / ref_val, 2)
+                              if ref_val else None)
+    else:
+        out["vs_baseline"] = round(out["value"] / ref_ips, 2)
+    out["cpu_reference"] = round(ref_ips, 4)
+    out["cpu_reference_measured_at"] = ref.get("measured_at")
+    return out
+
+
 def _run_all():
     """All five BASELINE configs; one JSON line each, plus a combined
     record written to bench_all.json."""
@@ -384,8 +413,7 @@ def _run_all():
                      ("cdlcns", _bench_cdlcns),
                      ("cbpdn_batch", _bench_cbpdn_batch),
                      ("cdlcns_scaling", _bench_cdlcns_scaling)]:
-        out = fn()
-        out.setdefault("vs_baseline", None)
+        out = _ref_vs_baseline(name, fn())
         print(json.dumps(out), flush=True)
         results.append(out)
     D, S, lmbda = _headline_problem()
@@ -411,7 +439,7 @@ def main():
                "cdlcns_scaling": _bench_cdlcns_scaling,
                "cbpdn_batch": _bench_cbpdn_batch,
                "pgm": _bench_pgm}[cfg]()
-        out.setdefault("vs_baseline", None)
+        out = _ref_vs_baseline(cfg, out)
         print(json.dumps(out))
         return
 

@@ -20,7 +20,10 @@ __all__ = ["RobustPCA"]
 
 @dataclass(frozen=True)
 class RPCAConfig:
-    pass
+    # randomized-SVD nuclear prox (halko-2011 subspace iteration):
+    # None = exact full SVD; an int bounds the x-step's target rank
+    svd_rank: int = None
+    svd_iters: int = 2
 
 
 def _setup(cfg, params):
@@ -29,7 +32,8 @@ def _setup(cfg, params):
 
 def _xstep(cfg, aux, params, state):
     X, ss = sp.prox_nuclear(params["S"] - state.Y - state.U,
-                            1.0 / state.rho)
+                            1.0 / state.rho, rank=cfg.svd_rank,
+                            n_iter=cfg.svd_iters)
     return X, {"ss": ss}
 
 
@@ -84,7 +88,7 @@ class RobustPCA(ADMMModel):
         return ADMMOpts(**base)
 
     def __init__(self, S, lmbda=None, opt=None, dtype=jnp.float32,
-                 Y0=None, U0=None):
+                 Y0=None, U0=None, svd_rank=None, svd_iters=2):
         super().__init__()
         if opt is None:
             opt = self.options()
@@ -92,7 +96,7 @@ class RobustPCA(ADMMModel):
         if lmbda is None:
             lmbda = float(S.shape[0]) ** -0.5
         self.lmbda = lmbda
-        self.cfg = RPCAConfig()
+        self.cfg = RPCAConfig(svd_rank=svd_rank, svd_iters=svd_iters)
         self.opts = opt.replace(dtype=dtype)
         self.params = {"S": S, "lmbda": jnp.asarray(lmbda, dtype)}
         self.problem = _RPCA

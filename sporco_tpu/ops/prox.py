@@ -173,15 +173,47 @@ def norm_nuclear(x):
     return jnp.sum(jnp.linalg.svd(x, compute_uv=False))
 
 
-def prox_nuclear(v, alpha):
+def prox_nuclear(v, alpha, rank=None, n_iter=2, oversample=10):
     """Singular-value soft thresholding (cai-2010-singular).
 
     Returns ``(X, s)`` where ``s`` are the thresholded singular values
     (parity with ``sporco/prox/_nuclear.py:45``).  Batched over leading
     axes by jnp.linalg.svd.
+
+    With ``rank`` set, uses a randomized rank-``rank + oversample``
+    subspace-iteration SVD (halko-2011-finding, Alg. 4.4) instead of
+    the full decomposition -- all matmuls, jittable, batched.  This is
+    EXACT (to the accuracy of ``n_iter`` subspace iterations) whenever
+    the singular values beyond the sketch rank are ``<= alpha``: those
+    directions would be thresholded to zero anyway.  The natural fit is
+    Robust PCA, whose x-step target is explicitly low-rank
+    (SURVEY §7.4; full ``jnp.linalg.svd`` on TPU is the bottleneck of
+    ``sporco/admm/rpca.py:23``'s iteration).
     """
-    u, s, vt = jnp.linalg.svd(v, full_matrices=False)
+    if rank is None:
+        u, s, vt = jnp.linalg.svd(v, full_matrices=False)
+        ss = jnp.maximum(0, s - alpha)
+        return jnp.matmul(u * ss[..., None, :], vt), ss
+    m, n = v.shape[-2], v.shape[-1]
+    r = int(min(rank + oversample, min(m, n)))
+    vh = jnp.conj(jnp.swapaxes(v, -1, -2))
+    # fixed sketch (deterministic; fresh keys per call would retrace
+    # under jit and are unnecessary -- subsequent subspace iterations
+    # wash out any unlucky draw)
+    om = jax.random.normal(jax.random.PRNGKey(0),
+                           v.shape[:-2] + (n, r), v.real.dtype)
+    if jnp.iscomplexobj(v):
+        om = om.astype(v.dtype)
+    y = jnp.matmul(v, om)
+    for _ in range(int(n_iter)):
+        q = jnp.linalg.qr(y)[0]
+        z = jnp.linalg.qr(jnp.matmul(vh, q))[0]
+        y = jnp.matmul(v, z)
+    q = jnp.linalg.qr(y)[0]
+    b = jnp.matmul(jnp.conj(jnp.swapaxes(q, -1, -2)), v)
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
     ss = jnp.maximum(0, s - alpha)
+    u = jnp.matmul(q, ub)
     return jnp.matmul(u * ss[..., None, :], vt), ss
 
 

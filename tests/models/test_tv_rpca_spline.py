@@ -111,6 +111,20 @@ class TestRPCA:
         err = np.linalg.norm(np.asarray(X) - L0) / np.linalg.norm(L0)
         assert err < 1e-5
 
+    def test_randomized_svd_parity(self):
+        # rank-bounded randomized nuclear prox reproduces the exact-SVD
+        # trajectory when the target rank is captured (SURVEY §7.4)
+        opt = rpca.RobustPCA.options(max_iter=120, rel_stop_tol=0.0)
+        a = rpca.RobustPCA(S_RPCA, opt=opt, dtype=jnp.float64)
+        a.solve()
+        b = rpca.RobustPCA(S_RPCA, opt=opt, dtype=jnp.float64,
+                           svd_rank=16)
+        Xr, Yr = b.solve()
+        ia, ib = a.getitstat(), b.getitstat()
+        assert abs(ia.ObjFun[-1] - ib.ObjFun[-1]) / ia.ObjFun[-1] < 1e-4
+        err = np.linalg.norm(np.asarray(Xr) - L0) / np.linalg.norm(L0)
+        assert err < 1e-4
+
     def test_sparse_support(self):
         opt = rpca.RobustPCA.options(max_iter=100)
         b = rpca.RobustPCA(S_RPCA, opt=opt, dtype=jnp.float64)

@@ -116,6 +116,23 @@ class TestProx:
         assert np.allclose(np.sort(xs)[::-1], np.maximum(0, sv - 0.5),
                            atol=1e-8)
 
+    def test_prox_nuclear_randomized(self):
+        # low-rank target with a below-threshold tail: the randomized
+        # subspace-iteration path must match the full SVD exactly
+        rng = np.random.default_rng(7)
+        U = np.linalg.qr(rng.standard_normal((64, 64)))[0]
+        V = np.linalg.qr(rng.standard_normal((64, 64)))[0]
+        sv = np.zeros(64)
+        sv[:6] = [50, 40, 30, 20, 10, 5]
+        sv[6:] = rng.uniform(0, 0.05, 58)
+        A = jnp.asarray((U * sv) @ V.T, jnp.float32)
+        Xf, _ = prox.prox_nuclear(A, 0.1)
+        Xr, sr = prox.prox_nuclear(A, 0.1, rank=6)
+        assert float(jnp.abs(Xf - Xr).max()) < 1e-4
+        # thresholded singular values agree on the captured subspace
+        assert np.allclose(np.asarray(sr)[:6],
+                           np.maximum(0, sv[:6] - 0.1), rtol=1e-5)
+
     def test_norms(self):
         v = self.rng.standard_normal((4, 6))
         assert np.allclose(float(prox.norm_l1(jnp.array(v))),
