@@ -86,8 +86,18 @@ def _freq_mask(K1, K1p, P, axis_name):
     return (cols < K1)[None, :]
 
 
+def _default_dtype(dtype):
+    """None -> the runtime's widest float (f64 under jax_enable_x64,
+    else f32) rather than requesting f64 on a non-x64 runtime (which
+    JAX silently truncates with a warning)."""
+    if dtype is not None:
+        return dtype
+    import jax
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def tvl2deconv_nsharded(A, S, lmbda, mesh, opt=None, Wtv=1.0,
-                        dtype=jnp.float64):
+                        dtype=None):
     """l2-TV deconvolution with the image rows sharded over the mesh
     ``"data"`` axis (see module docstring).  Returns ``(X, k, r, s)``:
     the deconvolved image (global array, row-sharded), iterations run,
@@ -99,6 +109,7 @@ def tvl2deconv_nsharded(A, S, lmbda, mesh, opt=None, Wtv=1.0,
     from sporco_tpu.models.tv import TVL2Deconv
     if opt is None:
         opt = TVL2Deconv.options()
+    dtype = _default_dtype(dtype)
     S = jnp.asarray(S, dtype)
     A = jnp.asarray(A, dtype)
     if S.ndim != 2:
@@ -205,8 +216,8 @@ def tvl2deconv_nsharded(A, S, lmbda, mesh, opt=None, Wtv=1.0,
 
         rdt = S_loc.dtype
         st0 = (jnp.zeros_like(S_loc),
-               lax.pvary(jnp.zeros((2,) + S_loc.shape, rdt), "data"),
-               lax.pvary(jnp.zeros((2,) + S_loc.shape, rdt), "data"),
+               lax.pcast(jnp.zeros((2,) + S_loc.shape, rdt), "data", to="varying"),
+               lax.pcast(jnp.zeros((2,) + S_loc.shape, rdt), "data", to="varying"),
                jnp.asarray(0, jnp.int32),
                jnp.asarray(rho0, rdt),
                jnp.asarray(jnp.inf, rdt), jnp.asarray(jnp.inf, rdt),
@@ -228,7 +239,7 @@ def tvl2deconv_nsharded(A, S, lmbda, mesh, opt=None, Wtv=1.0,
 
 
 def cbpdn_nsharded(D, S, lmbda, mesh, opt=None, wl1=1.0,
-                   dtype=jnp.float64):
+                   dtype=None):
     """ConvBPDN (single-channel 2-D l1 CSC) with the IMAGE ROWS sharded
     over the mesh ``"data"`` axis -- the sequence-parallel analogue for
     images exceeding one device, applied to the flagship solver.
@@ -244,14 +255,16 @@ def cbpdn_nsharded(D, S, lmbda, mesh, opt=None, wl1=1.0,
 
     Returns ``(X_user, stats, k)``: coefficient maps in the user layout
     ``(N0, N1, M)`` (a global row-sharded array), the stats buffer
-    (rows ``Iter/ObjFun/DFid/RegL1/PrimalRsdl/DualRsdl/EPrimal/EDual/
-    Rho``), and the iterations run.
+    (columns ``Iter/ObjFun/DFid/RegL1/PrimalRsdl/DualRsdl/EPrimal/
+    EDual/Rho`` plus one always-zero padding column that keeps the row
+    width even), and the iterations run.
     """
     from sporco_tpu.models.cbpdn import ConvBPDN
     from sporco_tpu.models.common import default_rho_xi
     from sporco_tpu.solvers.admm import _update_rho
     if opt is None:
         opt = ConvBPDN.options()
+    dtype = _default_dtype(dtype)
     S = jnp.asarray(S, dtype)
     D = jnp.asarray(D, dtype)
     if S.ndim != 2 or D.ndim != 3:
@@ -362,8 +375,9 @@ def cbpdn_nsharded(D, S, lmbda, mesh, opt=None, wl1=1.0,
             return (Xl, Yn, Un, k + 1, r, s, epri, edua, rho_n, stats)
 
         rdt = S_loc.dtype
-        zb = lambda: lax.pvary(
-            jnp.zeros((M, S_loc.shape[0], N1), rdt), "data")
+        zb = lambda: lax.pcast(
+            jnp.zeros((M, S_loc.shape[0], N1), rdt), "data",
+            to="varying")
         st0 = (zb(), zb(), zb(),
                jnp.asarray(0, jnp.int32),
                jnp.asarray(jnp.inf, rdt), jnp.asarray(jnp.inf, rdt),
