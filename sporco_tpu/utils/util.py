@@ -2,10 +2,13 @@
 access, and the top-level grid-search convenience re-export
 (capability parity with ``sporco/util.py``).
 
-Example images and pre-learned convolutional dictionaries are loaded
-from the reference data set when present (``SPORCO_TPU_DATA_PATH`` or
-the read-only reference checkout); deterministic synthetic fallbacks
-keep everything usable without it.
+Example images and pre-learned convolutional dictionaries come from
+the BUNDLED data pack (``sporco_tpu/data/``: public-domain photo +
+real elevation rasters, with dictionaries trained by this framework's
+own consensus CDL -- see ``tools/build_datapack.py``).
+``SPORCO_TPU_DATA_PATH`` overrides the search path; the reference
+checkout's data set and a deterministic synthetic fallback remain as
+lower-priority sources.
 """
 
 import os
@@ -21,6 +24,8 @@ __all__ = ["tiledict", "convdicts", "ExampleImages", "Timer",
 
 _DATA_PATHS = [
     os.environ.get("SPORCO_TPU_DATA_PATH", ""),
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data"),     # bundled pack
     "/root/reference/sporco/data",
 ]
 
