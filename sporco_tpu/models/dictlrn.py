@@ -214,7 +214,7 @@ class ConvBPDNDictLearn(DictLearn):
     def __init__(self, D0, S, lmbda=None, opt=None, xmethod="admm",
                  dmethod="cns", max_iter=100, dimK=None, dimN=2,
                  xopt=None, dopt=None, zero_mean=False,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, dsz=None):
         if isinstance(opt, dict):
             # reference-style option tree (sporco/dictlrn/cbpdndl.py:270)
             outer, subs = _ref_dl_opt(opt, ("CBPDN", "CCMOD"))
@@ -233,11 +233,16 @@ class ConvBPDNDictLearn(DictLearn):
         S = jnp.asarray(S, dtype)
         self.xmethod = xmethod
         self.dmethod = dmethod
-        dsz = D0.shape
+        # multi-scale dictionaries: ``dsz`` may be a nested size spec
+        # (capability of the reference's DictSize option,
+        # ``dictlrn/cbpdndl.py:274``); ``D0`` is then the max-support
+        # zero-padded array
+        if dsz is None:
+            dsz = D0.shape
         # normalise initial dictionary (Pcn, dictlrn/cbpdndl.py:385)
         cri0 = cr.csc_index(D0.shape, S.shape, dimK=dimK, dimN=dimN)
         D0i = cr.to_internal_D(D0, cri0)
-        D0i = cr.Pcn(D0i, tuple(dsz), dsz[:dimN], dimN=dimN,
+        D0i = cr.Pcn(D0i, tuple(dsz), D0.shape[:dimN], dimN=dimN,
                      zm=zero_mean)
         D0u = cr.from_internal_D(D0i, cri0)
 
