@@ -156,9 +156,12 @@ print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
 
 
 def test_tvl1_objective_matches_reference(tmp_path):
-    """TVL1Denoise: close objective trajectories (our x-step uses
-    Jacobi sweeps where the reference uses Gauss-Seidel, so this is a
-    convergence-level rather than rounding-level comparison)."""
+    """TVL1Denoise: trajectory-level objective parity.  The reference's
+    "GaussSeidelStep" reads every neighbour from the previous iterate
+    (``sporco/admm/tvl1.py:389-398``), i.e. it IS a Jacobi sweep -- the
+    same update this implementation runs -- so the trajectories agree
+    to f64 rounding (measured 4e-8 over 30 iterations; the f32 stats
+    buffer bounds the comparison)."""
     from sporco_tpu.models import tv
     import jax.numpy as jnp
     rng = np.random.default_rng(12345)
@@ -184,8 +187,7 @@ print(json.dumps({{"obj": list(map(float, b.getitstat().ObjFun))}}))
     b.solve()
     obj = np.asarray(b.getitstat().ObjFun)
     ref_obj = np.asarray(ref["obj"])
-    assert abs(obj[-1] - ref_obj[-1]) < 2e-3 * abs(ref_obj[-1])
-    assert np.allclose(obj[5:], ref_obj[5:], rtol=5e-3)
+    assert np.allclose(obj, ref_obj, rtol=1e-6)
 
 
 def test_spline_objective_matches_reference(tmp_path):
