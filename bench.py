@@ -67,6 +67,19 @@ def _cbpdn_fused_flops(N, M, nd, ps=8):
     return mm + fft + elem
 
 
+
+
+def _settle(model):
+    """Wait for the model's construction work (uploads, factorisations)
+    to finish before starting the timer: jax dispatch is async, so
+    without this the timed solve also pays for construction compute
+    still draining through the device queue."""
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves((model.params, model.state))
+    jax.device_get([jnp.ravel(l)[:1] for l in leaves
+                    if hasattr(l, "ravel") and l.size])
+
 def _tpu_run(D, S, lmbda, max_iter):
     import jax
     _enable_compile_cache()
@@ -89,6 +102,7 @@ def _tpu_run(D, S, lmbda, max_iter):
     t_solve = float("inf")
     for _ in range(3):
         b2 = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+        _settle(b2)
         t0 = time.time()
         b2.solve()
         t_solve = min(t_solve, time.time() - t0)
@@ -208,6 +222,7 @@ def _bench_bpdn():
     b = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
     b.solve()
     b2 = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
+    _settle(b2)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
     # x-step is one M x M triangular solve pair + matvec per iteration
@@ -230,6 +245,7 @@ def _bench_tvl2():
     b = tv.TVL2Denoise(S, 0.05, opt=opt)
     b.solve()
     b2 = tv.TVL2Denoise(S, 0.05, opt=opt)
+    _settle(b2)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
     # Jacobi sweeps + grad/gradT stencils: ~30 passes over N^2
@@ -256,6 +272,7 @@ def _bench_rpca():
     b = rpca.RobustPCA(S, opt=opt, svd_rank=16)
     b.solve()
     b2 = rpca.RobustPCA(S, opt=opt, svd_rank=16)
+    _settle(b2)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
     flops = 6 * 2 * N * N * 26 * 2  # sketch/subspace matmuls dominate
@@ -277,6 +294,7 @@ def _bench_pgm():
     b = mp.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
     b.solve()
     b2 = mp.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+    _settle(b2)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     its = b2.getitstat(); n = len(its)
     flops = _cbpdn_fused_flops(512, 64, 8)
@@ -333,6 +351,7 @@ def _bench_cbpdn_batch():
     t_best = float("inf")
     for _ in range(2):
         b2 = cbpdn.ConvBPDN(D, S, lmbda=0.05, opt=opt)
+        _settle(b2)
         t0 = time.time()
         b2.solve()
         t_best = min(t_best, time.time() - t0)

@@ -375,7 +375,7 @@ class ConvBPDN(ADMMModel):
         if not use_fused:
             return super().solve()
         from sporco_tpu.models.common import device_sync
-        self.k_start = int(self.state.k)
+        self.k_start = self.state.k
         self.timer.start("solve")
         self.state = fused_csc.cbpdn_solve(self.cfg, self.params,
                                            self.opts, self.state)

@@ -72,7 +72,9 @@ class ADMMModel:
     def solve(self):
         """Run (or resume) the jitted solve loop; returns the minimiser
         in the reference's output layout."""
-        self.k_start = int(self.state.k)
+        # keep the start counter as a device scalar: int() here would
+        # cost one relay round trip (~25 ms) per solve call
+        self.k_start = self.state.k
         self.timer.start("solve")
         self.state = _admm.admm_solve(self.problem, self.cfg, self.params,
                                       self.opts, self.state)
@@ -190,7 +192,7 @@ class PGMModel:
         self.timer.stop("init")
 
     def solve(self):
-        self.k_start = int(self.state.k)
+        self.k_start = self.state.k
         self.timer.start("solve")
         self.state = _pgm.pgm_solve(self.problem, self.cfg, self.params,
                                     self.opts, self.state)

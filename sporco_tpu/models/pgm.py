@@ -307,7 +307,7 @@ class ConvBPDN(PGMModel):
                 self.cfg, self.params, self.opts):
             return super().solve()
         from sporco_tpu.models.common import device_sync
-        self.k_start = int(self.state.k)
+        self.k_start = self.state.k
         self.timer.start("solve")
         self.state = fused_csc.pgm_cbpdn_solve(self.cfg, self.params,
                                                self.opts, self.state)

@@ -176,3 +176,6 @@ def transpose_ntpl(lst):
     cls = type(lst[0])
     return cls(*[np.asarray([getattr(t, f) for t in lst])
                  for f in cls._fields])
+
+
+transpose_ntpl_list = transpose_ntpl    # reference alias (sporco/util.py:926)

@@ -20,7 +20,8 @@ from sporco_tpu.utils.timer import Timer, ContextTimer  # noqa: F401
 from sporco_tpu.parallel.gridsearch import grid_search  # noqa: F401
 
 __all__ = ["tiledict", "convdicts", "ExampleImages", "Timer",
-           "ContextTimer", "grid_search"]
+           "ContextTimer", "grid_search", "idle_cpu_count",
+           "netgetdata"]
 
 _DATA_PATHS = [
     os.environ.get("SPORCO_TPU_DATA_PATH", ""),
@@ -179,3 +180,34 @@ class ExampleImages:
         img = np.clip(img, 0, 1)
         return np.stack([img, np.roll(img, 5, 0),
                          np.roll(img, 5, 1)], axis=-1)
+
+
+def idle_cpu_count(mincpu=1):
+    """Estimate of the number of idle CPUs (``sporco/util.py:52``):
+    cpu count minus 1-minute load average, floored at ``mincpu``."""
+    if hasattr(os, "getloadavg"):
+        idle = int(os.cpu_count() - os.getloadavg()[0])
+    else:  # pragma: no cover - non-POSIX
+        idle = os.cpu_count()
+    return max(mincpu, idle)
+
+
+def netgetdata(url, maxtry=3, timeout=10):
+    """Fetch a URL into a BytesIO with retries
+    (``sporco/util.py:171``)."""
+    import io
+    import urllib.error
+    import urllib.request
+    err = ValueError("maxtry parameter should be greater than zero")
+    for _ in range(maxtry):
+        try:
+            rsp = urllib.request.urlopen(url, timeout=timeout)
+            cbio = io.BytesIO(rsp.read())
+            break
+        except urllib.error.URLError as e:
+            err = e
+            if not isinstance(e.reason, TimeoutError):
+                raise
+    else:
+        raise err
+    return cbio
