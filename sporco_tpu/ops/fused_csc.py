@@ -894,12 +894,151 @@ def pgm_eligible(cfg, params, opts, force=False):
     return True
 
 
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _pgm_fused_kernel_run(cfg, opts, params, state, prec_mode,
+                          interpret=False):
+    """FISTA CSC loop around the one-pass Pallas kernel
+    (:func:`sporco_tpu.ops.pallas_csc_iter.pgm_iter`): gradient adjoint
+    matmul + prox + momentum extrapolation + next forward product in a
+    single pass over the packed state, ZERO FFTs per iteration (the
+    residual/objective live entirely on the small roll-combined
+    forward products)."""
+    from sporco_tpu.ops import pallas_csc_iter as pki
+    from sporco_tpu.solvers.pgm import _momentum_update
+    cri = cfg.cri
+    n0, n1 = cri.Nv
+    K, M = cri.K, cri.M
+    nd0, nd1 = cri.dsz[0], cri.dsz[1]
+    p0, p1 = n0 // PS, n1 // PS
+    pos = K * p0 * p1
+    C = PS * PS * M
+    lmbda = params["lmbda"]
+    prec_fwd = (lax.Precision.DEFAULT if prec_mode == "mixed"
+                else lax.Precision.HIGH)
+    fwd_passes = 1 if prec_mode == "mixed" else 6
+
+    D = params["D"].reshape(M, nd0, nd1)
+    Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
+    jf0, jf1, ja0, ja1 = js
+    Ta = (ja0 + 1) * (ja1 + 1) * PS * PS
+    Wa_sp = pki.split_bf16_3(Wa)
+    Wf_sp = pki.split_bf16_3(Wf)
+    Sp = poly_pack(params["S"].reshape(K, n0, n1))
+    wl1p = _packed_l1_weight(params["wl1"], cri)
+    if cfg.masked:
+        Wm = jnp.broadcast_to(params["W"].reshape(
+            params["W"].shape[0], *params["W"].shape[-2:]),
+            (K, n0, n1))
+        Wp2 = poly_pack(Wm) ** 2
+    k0 = state.k
+
+    def cond(c):
+        st = c[0]
+        tol = opts.rel_stop_tol
+        if opts.auto_stop:
+            tol = opts.auto_stop_tau0 / (1.0
+                                         + st.k.astype(st.rsdl.dtype))
+        return jnp.logical_and(st.k - k0 < opts.max_iter,
+                               st.rsdl >= tol)
+
+    def body(c):
+        st, R1 = c
+        L = st.L
+        # gradient operand: roll-combine the forward product, subtract
+        # S, (mask), and build the adjoint rolls -- all small tensors
+        o4 = R1.reshape(K, p0, p1, -1)
+        Rp = _fwd_combine(o4, jf0, jf1, PS) - Sp
+        Rg = Wp2 * Rp if cfg.masked else Rp
+        G2 = _adj_rolls(Rg, ja0, ja1)
+        tprv = st.t
+        t = _momentum_update(opts, st.t, st.k)
+        beta = (tprv - 1.0) / t
+        thr = (lmbda / L) * wl1p
+        X2, Y2, R1n, RX, sums = pki.pgm_iter(
+            G2.reshape(pos, Ta), st.Y.reshape(pos, C),
+            st.X.reshape(pos, C), Wa_sp, Wf_sp, thr, wl1p, 1.0 / L,
+            beta, nonneg=cfg.non_neg, fwd_passes=fwd_passes)
+        pshape = st.Y.shape
+        X = X2.reshape(pshape)
+        Yn = Y2.reshape(pshape)
+        rsdl = jnp.sqrt(sums[0])
+
+        if opts.fast_solve:
+            objv = (jnp.nan,) * 3
+        else:
+            RpX = _fwd_combine(RX.reshape(K, p0, p1, -1), jf0, jf1,
+                               PS) - Sp
+            if cfg.masked:
+                f = 0.5 * jnp.sum(Wp2 * RpX ** 2)
+            else:
+                f = 0.5 * jnp.sum(RpX ** 2)
+            objv = (f + lmbda * sums[1], f, sums[1])
+
+        row_idx = st.k - k0
+        nanv = jnp.float32(jnp.nan)
+        row = jnp.stack([jnp.float32(st.k)]
+                        + [jnp.float32(o) for o in objv]
+                        + [jnp.float32(rsdl), nanv, nanv,
+                           jnp.float32(0.0), jnp.float32(L)])
+        stats = lax.dynamic_update_slice(
+            st.stats, row[None, :], (row_idx, jnp.zeros_like(row_idx)))
+        if opts.verbose:
+            jax.debug.print(
+                "it {k}  obj {o:.4e}  rsdl {r:.3e}  L {L:.3e}",
+                k=st.k, o=row[1], r=rsdl, L=L)
+        st2 = st._replace(X=X, Y=Yn, Xprv=X, t=t, k=st.k + 1,
+                          rsdl=rsdl, stats=stats)
+        return (st2, R1n)
+
+    st0 = state._replace(
+        X=pack_state(state.X), Y=pack_state(state.Y),
+        Xprv=pack_state(state.Xprv), Gprv=pack_state(state.Gprv),
+        Zrb=pack_state(state.Zrb))
+    R10 = jnp.einsum("kpqc,cd->kpqd",
+                     st0.Y.reshape(K, p0, p1, C), Wf,
+                     precision=prec_fwd).reshape(pos, -1)
+    stf, _ = lax.while_loop(cond, body, (st0, R10))
+    shp = state.X.shape
+    unp = lambda P: unpack_state(P, M).reshape(shp)
+    return stf._replace(X=unp(stf.X), Y=unp(stf.Y), Xprv=unp(stf.Xprv),
+                        Gprv=unp(stf.Gprv), Zrb=unp(stf.Zrb))
+
+
+def _pgm_kernel_eligible(cfg, params, opts):
+    """Whether the Pallas FISTA kernel covers this configuration:
+    plain momentum step (no backtracking/stepsize policy/monotone),
+    scalar or per-channel l1 weights, supported packed geometry."""
+    from sporco_tpu.ops import pallas_csc_iter as pki
+    if not (pki.enabled
+            and (pki.interpret
+                 or jax.default_backend() in ("tpu", "axon"))):
+        return False
+    if (opts.backtrack != "none" or opts.stepsize != "none"
+            or opts.monotone):
+        return False
+    cri = cfg.cri
+    wl1p = _packed_l1_weight(params["wl1"], cfg.cri)
+    pos = cri.K * (cri.Nv[0] // PS) * (cri.Nv[1] // PS)
+    C = PS * PS * cri.M
+    J = -(-(cri.dsz[0] - 1) // PS)
+    Ta = (J + 1) * (-(-(cri.dsz[1] - 1) // PS) + 1) * PS * PS
+    return (jnp.ndim(wl1p) <= 1
+            and pki.iter_supported(pos, C, Ta))
+
+
 def pgm_cbpdn_solve(cfg, params, opts, state):
-    """Pack the PGM state into the polyphase layout, run the generic
-    jitted FISTA loop over the fused problem, and unpack.  Pure layout
-    permutation: residual norms, inner products, and stats are identical
-    to the generic path."""
+    """Pack the PGM state into the polyphase layout, run the jitted
+    FISTA loop over the fused problem (through the one-pass Pallas
+    kernel when the configuration allows), and unpack.  Pure layout
+    permutation: residual norms, inner products, and stats are
+    identical to the generic path."""
     from sporco_tpu.solvers import pgm as _pgm
+    if _pgm_kernel_eligible(cfg, params, opts):
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        # interpret is part of the static key so tests toggling it
+        # retrace rather than hitting a stale cache entry
+        return _pgm_fused_kernel_run(cfg, opts, params, state,
+                                     _MATMUL_PRECISION, pki.interpret)
     shp = state.X.shape
     M = cfg.cri.M
     packed = state._replace(

@@ -58,7 +58,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["csc_iter", "iter_supported", "split_bf16", "enabled"]
+__all__ = ["csc_iter", "pgm_iter", "iter_supported",
+           "split_bf16", "split_bf16_3", "enabled"]
 
 # on-by-default on TPU backends; tests exercise it via interpret=True
 enabled = True
@@ -267,3 +268,112 @@ def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
                       Wf_split[0], Wf_split[1], Wf_split[2], thr2,
                       wl12, scal, bool(nonneg), int(fwd_passes),
                       int(adj_passes), int(r2_passes))
+
+
+# ---------------------------------------------------------------------------
+# FISTA (PGM) iteration kernel: the same one-pass structure applied to
+# the proximal-gradient CSC iteration (``sporco/pgm/cbpdn.py:29,387``,
+# packed-layout formulation of ops/fused_csc).  Per iteration:
+#
+#     A  = G2 @ Wa                  (adjoint matmul of the gradient)
+#     V  = Y - A / L
+#     X  = soft(V, lmbda/L * wl1)   [optional non-negativity]
+#     Yn = X + beta (X - Xprv)      (momentum extrapolation)
+#     R1 = Yn @ Wf                  (next gradient's forward product)
+#     RX = X @ Wf                   (objective's forward product)
+#
+# with X aliased onto Xprv and Yn onto Y, plus partial sums of
+# ||X - Y||^2 (the fixed-point residual) and sum|wl1 X|.
+
+def _pgm_kernel(nonneg, fwd_passes, adj_passes, g_ref, y_ref, xp_ref,
+                wa_hi_ref, wa_lo_ref, wa_3_ref, wf_hi_ref, wf_lo_ref,
+                wf_3_ref, thr_ref, wl1_ref, scal_ref,
+                x_ref, yn_ref, r1_ref, rx_ref, acc_ref):
+    rL = scal_ref[0, 0]          # 1 / L
+    beta = scal_ref[0, 1]        # (t_prv - 1) / t
+
+    def wdot(x, hi_ref, lo_ref, w3_ref, passes):
+        if passes == 6:
+            return _dot3(x, (hi_ref[:], lo_ref[:], w3_ref[:]), None, 6)
+        return _dot3(x, hi_ref[:], lo_ref[:], passes)
+
+    a = wdot(g_ref[:], wa_hi_ref, wa_lo_ref, wa_3_ref, adj_passes)
+    y = y_ref[:]
+    v = y - rL * a
+    t = jnp.abs(v) - thr_ref[:]
+    x = jnp.sign(v) * jnp.maximum(t, 0.0)
+    if nonneg:
+        x = jnp.maximum(x, 0.0)
+    yn = x + beta * (x - xp_ref[:])
+    x_ref[:] = x
+    yn_ref[:] = yn
+    r1_ref[:] = wdot(yn, wf_hi_ref, wf_lo_ref, wf_3_ref, fwd_passes)
+    rx_ref[:] = wdot(x, wf_hi_ref, wf_lo_ref, wf_3_ref, 3)
+    d = x - y
+    acc_ref[:] = jnp.stack(
+        [jnp.sum(d * d, axis=0),
+         jnp.sum(jnp.abs(x) * wl1_ref[:], axis=0),
+         jnp.zeros_like(x[0]), jnp.zeros_like(x[0]),
+         jnp.zeros_like(x[0]), jnp.zeros_like(x[0]),
+         jnp.zeros_like(x[0]), jnp.zeros_like(x[0])])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nonneg", "fwd_passes",
+                                    "adj_passes"))
+def _pgm_call(G2, Y, Xprv, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3,
+              thr, wl1, scal, nonneg, fwd_passes, adj_passes):
+    R, C = Y.shape
+    T = G2.shape[1]
+    BR = _pick_block_rows(R, C)
+    Gn = R // BR
+    row = pl.BlockSpec((BR, C), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    rowT = pl.BlockSpec((BR, T), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    w_spec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, C), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    x, yn, r1, rx, acc = pl.pallas_call(
+        functools.partial(_pgm_kernel, nonneg, fwd_passes, adj_passes),
+        grid=(Gn,),
+        in_specs=[rowT, row, row,
+                  w_spec((T, C)), w_spec((T, C)), w_spec((T, C)),
+                  w_spec((C, T)), w_spec((C, T)), w_spec((C, T)),
+                  vec, vec,
+                  pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[row, row, rowT, rowT,
+                   pl.BlockSpec((8, C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((R, C), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((R, T), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((Gn * 8, C), jnp.float32)],
+        input_output_aliases={2: 0, 1: 1},    # Xprv <- X, Y <- Yn
+        name=f"pgm_iter_f{fwd_passes}a{adj_passes}",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.ARBITRARY,),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(G2, Y, Xprv, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr, wl1,
+      scal)
+    part = acc.reshape(Gn, 8, C)
+    return x, yn, r1, rx, jnp.sum(part, axis=(0, 2))[:2]
+
+
+def pgm_iter(G2, Y, Xprv, Wa_split, Wf_split, thr, wl1, rL, beta,
+             nonneg=False, fwd_passes=6, adj_passes=3):
+    """One fused FISTA CSC iteration over the packed 2-D state; see the
+    kernel comment above.  Returns ``(X, Yn, R1, RX, sums)`` with
+    ``sums = [||X - Y||^2, sum|wl1 X|]``."""
+    R, C = Y.shape
+    thr2 = jnp.broadcast_to(jnp.asarray(thr, Y.dtype), (1, C))
+    wl12 = jnp.broadcast_to(jnp.asarray(wl1, Y.dtype), (1, C))
+    scal = jnp.stack([jnp.asarray(rL, jnp.float32),
+                      jnp.asarray(beta, jnp.float32)]).reshape(1, 2)
+    return _pgm_call(G2, Y, Xprv, Wa_split[0], Wa_split[1], Wa_split[2],
+                     Wf_split[0], Wf_split[1], Wf_split[2], thr2, wl12,
+                     scal, bool(nonneg), int(fwd_passes),
+                     int(adj_passes))

@@ -369,3 +369,64 @@ class TestPallasIterKernel:
                     (pxr ** 2).sum(), (ynr ** 2).sum(),
                     (unr ** 2).sum(), np.abs(pxr).sum()]
         assert np.allclose(np.asarray(sums), ref_sums, rtol=1e-3)
+
+
+class TestPallasPGMKernel:
+    """The one-pass Pallas FISTA kernel must reproduce the packed-XLA
+    PGM path's trajectory (interpret mode on CPU)."""
+
+    def _run(self, masked=False, **kw):
+        from sporco_tpu.models import pgm as mpgm
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        D, S = _problem(N=32, M=4, K=1)
+        S = S[..., 0]
+        W = None
+        cls = mpgm.ConvBPDN
+        if masked:
+            rng = np.random.default_rng(3)
+            W = (rng.uniform(size=S.shape) > 0.3).astype(np.float32)
+            cls = mpgm.ConvBPDNMask
+        opt = mpgm.ConvBPDN.options(max_iter=15, rel_stop_tol=0.0,
+                                    L=50.0, **kw)
+        args = dict(opt=opt)
+        if masked:
+            args["W"] = W
+        prev = pki.enabled
+        pki.enabled = False
+        try:
+            a = cls(D, S, 0.1, **args)
+            Xa = np.asarray(a.solve()); ia = a.getitstat()
+        finally:
+            pki.enabled = prev
+        pki.enabled = True
+        pki.interpret = True
+        try:
+            b = cls(D, S, 0.1, **args)
+            Xb = np.asarray(b.solve()); ib = b.getitstat()
+        finally:
+            pki.interpret = False
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        assert np.allclose(ia.ObjFun, ib.ObjFun, rtol=1e-4)
+        assert np.allclose(ia.Rsdl, ib.Rsdl, rtol=1e-3, atol=1e-6)
+
+    def test_matches_xla_path(self):
+        self._run()
+
+    def test_masked(self):
+        self._run(masked=True)
+
+    def test_linear_momentum(self):
+        self._run(momentum="linear")
+
+    def test_backtrack_falls_back(self):
+        # backtracking configurations must route to the generic path
+        from sporco_tpu.models import pgm as mpgm
+        from sporco_tpu.ops import fused_csc
+        D, S = _problem(N=32, M=4, K=1)
+        b = mpgm.ConvBPDN(D, S[..., 0], 0.1,
+                          opt=mpgm.ConvBPDN.options(
+                              max_iter=5, backtrack="standard"))
+        assert not fused_csc._pgm_kernel_eligible(b.cfg, b.params,
+                                                  b.opts)
+        b.solve()   # runs via the generic packed path
