@@ -214,7 +214,7 @@ class ConvBPDNDictLearn(DictLearn):
     def __init__(self, D0, S, lmbda=None, opt=None, xmethod="admm",
                  dmethod="cns", max_iter=100, dimK=None, dimN=2,
                  xopt=None, dopt=None, zero_mean=False,
-                 dtype=jnp.float64, dsz=None):
+                 dtype=jnp.float64, dsz=None, mu=0.0, wgrd=1.0):
         if isinstance(opt, dict):
             # reference-style option tree (sporco/dictlrn/cbpdndl.py:270)
             outer, subs = _ref_dl_opt(opt, ("CBPDN", "CCMOD"))
@@ -252,8 +252,16 @@ class ConvBPDNDictLearn(DictLearn):
                                                rel_stop_tol=0.0)
             else:
                 xopt = xopt.replace(max_iter=1)
-            xstep = _cbpdn.ConvBPDN(D0u, S, lmbda, opt=xopt, dimK=dimK,
-                                    dimN=dimN, dtype=dtype)
+            if mu > 0.0:
+                # gradient-regularised sparse coding stage (the
+                # reference's cbpdndl_grd configuration)
+                xstep = _cbpdn.ConvBPDNGradReg(
+                    D0u, S, lmbda, mu=mu, wgrd=wgrd, opt=xopt,
+                    dimK=dimK, dimN=dimN, dtype=dtype)
+            else:
+                xstep = _cbpdn.ConvBPDN(D0u, S, lmbda, opt=xopt,
+                                        dimK=dimK, dimN=dimN,
+                                        dtype=dtype)
         else:
             if xopt is None:
                 xopt = _pgm.ConvBPDN.options(max_iter=1)
