@@ -59,6 +59,9 @@ class _CnsConfig:
     relax_x: float = 1.8
     relax_d: float = 1.8
     fused_x: bool = False   # spatial-Woodbury CSC x-step (ops/fused_csc)
+    kernel_x: bool = False  # one-pass Pallas CSC stage; the coefficient
+                            # state then stays in the packed polyphase
+                            # layout across iterations
 
 
 def _fftaxes(cri):
@@ -85,7 +88,14 @@ def _consensus_solve(cfg, params, state, n_iter):
         return cr.Pcn(V, cfg.dsz, Nv, dimN=cri.dimN, zm=cfg.zero_mean)
 
     def body(i, st):
-        ZY, ZU, ZY0, ZU0, DY, DU = st
+        # the dictionary dual lives in the DFT domain (planar
+        # real/imag f32): its only consumers are frequency-domain
+        # expressions, so keeping it there removes the two BIG
+        # M-channel transforms per outer iteration (rfftn(DY - DU) and
+        # irfftn(DXf)); only the small consensus-mean dictionary
+        # round-trips to the spatial domain for the Pcn projection
+        ZY, ZU, ZY0, ZU0, DY, DUfr, DUfi = st
+        DUf = DUfr + 1j * DUfi
         # --- cbpdn_setdict (prlcnscdl.py:134-148) ---
         Df = sf.rfftn(DY, axes=axes)
         DSf = jnp.conj(Df) * Sf
@@ -116,6 +126,46 @@ def _consensus_solve(cfg, params, state, n_iter):
             ZUn = ZU + AX1 - ZYn
             ZY0, ZU0 = ZY0n, ZU0n
             ZY, ZU = ZYn, ZUn
+        elif cfg.kernel_x:
+            # --- CSC stage through the one-pass Pallas kernel
+            # (ops/pallas_csc_iter.csc_iter): x-step combine, relax,
+            # prox, dual update in a single pass over the PACKED
+            # coefficient state (ZY/ZU are carried packed).  The
+            # dictionary changes every outer iteration, so the forward
+            # product is recomputed against the fresh polyphase
+            # weights rather than reusing the kernel's R1. ---
+            from sporco_tpu.ops import fused_csc as fc
+            from sporco_tpu.ops import pallas_csc_iter as pki
+            nd0, nd1 = cfg.dsz[0], cfg.dsz[1]
+            K, M = cri.K, cri.M
+            n0, n1 = Nv
+            PS = fc.PS
+            p0, p1 = n0 // PS, n1 // PS
+            pos = K * p0 * p1
+            C = PS * PS * M
+            Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
+            Wf_, Wa_, js_ = fc.xstep_kernels(Dsm, nd0, nd1)
+            jf0, jf1, ja0, ja1 = js_
+            DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=2).reshape(
+                n0, Sf.shape[-1])
+            Sf2 = Sf.reshape(K, n0, -1)
+            o = jnp.einsum("kpqc,cd->kpqd",
+                           (ZY - ZU).reshape(K, p0, p1, C), Wf_,
+                           precision=jax.lax.Precision.HIGH)
+            R = fc.poly_unpack(fc._fwd_combine(o, jf0, jf1, PS))
+            rf = sf.rfftn(R, axes=(-2, -1))
+            den = 1.0 / (DHD[None] + rho_x)
+            gr = (jnp.real(Sf2) - jnp.real(rf)) * den
+            gi = (jnp.imag(Sf2) - jnp.imag(rf)) * den
+            G = sf.irfftn(gr + 1j * gi, s=Nv, axes=(-2, -1))
+            G2 = fc._adj_rolls(fc.poly_pack(G), ja0, ja1)
+            thr = (lmbda / rho_x) * params["wl1"]
+            _, ZYn2, ZUn2, _, _, _ = pki.csc_iter(
+                G2.reshape(pos, -1), ZY.reshape(pos, C),
+                ZU.reshape(pos, C), pki.split_bf16_3(Wa_),
+                pki.split_bf16_3(Wf_), thr, 1.0, ax_, 1.0, 1.0)
+            ZY = ZYn2.reshape(K, p0, p1, C)
+            ZU = ZUn2.reshape(K, p0, p1, C)
         elif cfg.fused_x:
             # --- cbpdn x-step via the spatial Woodbury identity
             # (ops/fused_csc.spatial_xstep): replaces the M-channel FFT
@@ -155,28 +205,39 @@ def _consensus_solve(cfg, params, state, n_iter):
             ZY = ZYn
 
         # --- ccmod setcoef (prlcnscdl.py:199-209) ---
-        Zf = sf.rfftn(ZY, axes=axes)
+        if cfg.kernel_x:
+            from sporco_tpu.ops import fused_csc as _fcu
+            Z_int = _fcu.unpack_state(ZY, cri.M)
+        else:
+            Z_int = ZY
+        Zf = sf.rfftn(Z_int, axes=axes)
         if cfg.masked:
             # dictionary step fits y0 + s (the masked-consistent part)
             ZSf = jnp.conj(Zf) * sf.rfftn(ZY0 + S, axes=axes)
         else:
             ZSf = jnp.conj(Zf) * Sf
 
-        # --- ccmod xstep + relax per signal (prlcnscdl.py:212-232) ---
-        bD = ZSf + rho_d * sf.rfftn(DY - DU, axes=axes)
+        # --- ccmod xstep + relax per signal (prlcnscdl.py:212-232),
+        # entirely in the DFT domain (Df == rfftn(DY) from the top of
+        # the body) ---
+        bD = ZSf + rho_d * (Df - DUf)
         DXf = sl.solvedbi_sm(Zf, rho_d, bD, axis=2)
-        DX = sf.irfftn(DXf, s=Nv, axes=axes)
-        DAX = ad_ * DX + (1 - ad_) * DY
+        DAXf = ad_ * DXf + (1 - ad_) * Df
 
         # --- the all-reduce: consensus mean + projection
-        #     (prlcnscdl.py:235-243).  With a single-channel dictionary
-        # and multi-channel signals the per-channel updates are extra
-        # consensus blocks (the reference folds C onto K,
+        #     (prlcnscdl.py:235-243).  The mean commutes with the DFT,
+        # so only the SMALL averaged dictionary is transformed back for
+        # the (nonlinear) Pcn projection.  With a single-channel
+        # dictionary and multi-channel signals the per-channel updates
+        # are extra consensus blocks (the reference folds C onto K,
         # ccmod.py:270-280) ---
         blk_axes = (0, 1) if (cri.Cd == 1 and cri.C > 1) else (0,)
-        DYn = pcn(jnp.mean(DAX + DU, axis=blk_axes, keepdims=True))
-        DU = DU + DAX - DYn
-        return (ZY, ZU, ZY0, ZU0, DYn, DU)
+        Dmean = sf.irfftn(jnp.mean(DAXf + DUf, axis=blk_axes,
+                                   keepdims=True), s=Nv, axes=axes)
+        DYn = pcn(Dmean)
+        DUfn = DUf + DAXf - sf.rfftn(DYn, axes=axes)
+        return (ZY, ZU, ZY0, ZU0, DYn, jnp.real(DUfn),
+                jnp.imag(DUfn))
 
     state = jax.lax.fori_loop(0, n_iter, body, state)
     return state
@@ -253,11 +314,24 @@ class ConvBPDNDictLearn_Consensus:
         D0i = cr.Pcn(cr.to_internal_D(D0, csc_like), tuple(dsz),
                      cri.Nv, dimN=dimN, zm=zero_mean)
         from sporco_tpu.ops import fused_csc as _fc
+        from sporco_tpu.ops import pallas_csc_iter as _pki
         fx = (fused is not False
               and _fc.consensus_eligible(cri, dsz, dtype, self.MASKED))
+        PSx = _fc.PS
+        posx = cri.K * (cri.Nv[0] // PSx) * (cri.Nv[1] // PSx) \
+            if fx else 0
+        Jd = -(-(dsz[0] - 1) // PSx)
+        Tax = ((Jd + 1) * (-(-(dsz[1] - 1) // PSx) + 1) * PSx * PSx
+               if fx else 0)
+        kx = (fx and jnp.ndim(jnp.asarray(wl1)) == 0
+              and _pki.enabled
+              and (_pki.interpret
+                   or jax.default_backend() in ("tpu", "axon"))
+              and _pki.iter_supported(posx, PSx * PSx * cri.M, Tax))
         self.cfg = _CnsConfig(cri=cri, dsz=tuple(dsz),
                               zero_mean=zero_mean, masked=self.MASKED,
-                              relax_x=relax, relax_d=relax, fused_x=fx)
+                              relax_x=relax, relax_d=relax, fused_x=fx,
+                              kernel_x=bool(kx))
         wl1a = jnp.asarray(wl1, dtype)
         if wl1a.ndim > 0:
             wl1a = cr.l1_weight(wl1a, csc_like)
@@ -280,7 +354,12 @@ class ConvBPDNDictLearn_Consensus:
                 1.0 if rho_x is None else rho_x, dtype)
 
         K, Cx, M = cri.K, cri.Cx, cri.M
-        shpX = (K, Cx, M) + tuple(cri.Nv)
+        if self.cfg.kernel_x:
+            # coefficient state carried in the packed polyphase layout
+            shpX = (K, cri.Nv[0] // PSx, cri.Nv[1] // PSx,
+                    PSx * PSx * M)
+        else:
+            shpX = (K, Cx, M) + tuple(cri.Nv)
         shpS = (K, cri.C, 1) + tuple(cri.Nv)
         # D consensus blocks: per signal, plus per channel when the
         # dictionary is single-channel but signals are multi-channel
@@ -294,9 +373,13 @@ class ConvBPDNDictLearn_Consensus:
             # controller processes
             z = lambda shp: jnp.zeros(
                 shp, dtype, device=data_sharding(mesh, 0, len(shp)))
+        # the dictionary dual is carried in the DFT domain as planar
+        # real/imag f32 (complex arrays cannot cross jit boundaries on
+        # every backend; see _consensus_solve)
+        shpDbf = shpDb[:-1] + (cri.Nv[-1] // 2 + 1,)
         self.state = (z(shpX), z(shpX),      # ZY, ZU
                       z(shpS), z(shpS),      # ZY0, ZU0
-                      D0i, z(shpDb))         # DY, DU
+                      D0i, z(shpDbf), z(shpDbf))   # DY, Re/Im DUf
 
         # device placement: K-sharded batch arrays, replicated dict
         self.mesh = mesh
@@ -315,8 +398,8 @@ class ConvBPDNDictLearn_Consensus:
                 return jax.device_put(np.asarray(x) if multi else x,
                                       replicated(mesh))
 
-            ZY, ZU, ZY0, ZU0, DY, DU = self.state
-            self.state = (ZY, ZU, ZY0, ZU0, rep(DY), DU)
+            ZY, ZU, ZY0, ZU0, DY, DUfr, DUfi = self.state
+            self.state = (ZY, ZU, ZY0, ZU0, rep(DY), DUfr, DUfi)
             self.params = jax.tree_util.tree_map(
                 lambda x: rep(x) if x.shape[:1] != (K,) else shard(x),
                 self.params)
@@ -343,6 +426,13 @@ class ConvBPDNDictLearn_Consensus:
             D = cr.bcrop(D, self.cfg.dsz, self.cri.dimN)
         return cr.from_internal_D(D, self.cri)
 
+    def _coef_internal(self):
+        Z = self.state[0]
+        if self.cfg.kernel_x:
+            from sporco_tpu.ops import fused_csc as _fc
+            Z = _fc.unpack_state(Z, self.cri.M)
+        return Z
+
     def getcoef(self):
         csc_like = cr.CSCIndex(dimN=self.cri.dimN, dimC=self.cri.dimC,
                                dimK=self.cri.dimK, dimCd=self.cri.dimCd,
@@ -350,12 +440,13 @@ class ConvBPDNDictLearn_Consensus:
                                Cx=self.cri.Cx, K=self.cri.K,
                                M=self.cri.M, Nv=self.cri.Nv,
                                dsz=self.cfg.dsz)
-        return cr.from_internal_X(self.state[0], csc_like)
+        return cr.from_internal_X(self._coef_internal(), csc_like)
 
     def evaluate(self):
         """Objective over all signals (an all-reduce when sharded)."""
         obj, dfd, reg = _cns_objective(None, self.state[4],
-                                       self.state[0], self.params["S"],
+                                       self._coef_internal(),
+                                       self.params["S"],
                                        self.params["lmbda"],
                                        self.params["wl1"])
         return (float(obj), float(dfd), float(reg))

@@ -144,3 +144,40 @@ class TestGridSearch:
         sprm, sfvl, _, _ = gridsearch.grid_search(
             fn, (np.linspace(0, 1, 11),), fmin=False)
         assert abs(sprm[0] - 0.5) < 0.06
+
+
+class TestKernelCSCStage:
+
+    def test_pallas_kernel_stage_matches_xla(self):
+        """The one-pass Pallas CSC stage (cfg.kernel_x, packed
+        coefficient state) must reproduce the XLA consensus loop."""
+        import numpy as np
+        from sporco_tpu.parallel import consensus
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        rng = np.random.default_rng(0)
+        N, Nd, M, K = 32, 5, 8, 4
+        S = rng.standard_normal((N, N, K)).astype(np.float32)
+        D0 = rng.standard_normal((Nd, Nd, M)).astype(np.float32)
+        a = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
+                                                  max_iter=10,
+                                                  dtype=np.float32)
+        assert not a.cfg.kernel_x          # CPU: off unless interpret
+        a.solve()
+        Da = np.asarray(a.getdict())
+        Za = np.asarray(a.getcoef())
+        pki.interpret = True
+        try:
+            b = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
+                                                      max_iter=10,
+                                                      dtype=np.float32)
+            assert b.cfg.kernel_x
+            b.solve()
+            Db = np.asarray(b.getdict())
+            Zb = np.asarray(b.getcoef())
+        finally:
+            pki.interpret = False
+        assert np.abs(Da - Db).max() < 1e-3
+        assert np.abs(Za - Zb).max() < 1e-3 * max(np.abs(Za).max(),
+                                                  1e-6)
+        assert abs(a.evaluate()[0] - b.evaluate()[0]) \
+            < 1e-3 * abs(a.evaluate()[0])
