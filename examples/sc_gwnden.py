@@ -44,7 +44,8 @@ def main(N=64, bs=8, M=96, iters=60):
             b = np.cos(np.pi * j * (np.arange(bs) + 0.5) / bs)
             D[:, k] = np.outer(a, b).ravel()
             k += 1
-    D /= np.sqrt((D ** 2).sum(axis=0, keepdims=True))
+    D /= np.maximum(np.sqrt((D ** 2).sum(axis=0, keepdims=True)),
+                    1e-12)
 
     opt = bpdn.BPDNJoint.options(max_iter=iters, rel_stop_tol=1e-4)
     b = bpdn.BPDNJoint(D, V0, lmbda=0.2, mu=0.05, opt=opt)
