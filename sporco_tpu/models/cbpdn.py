@@ -818,7 +818,10 @@ class AddMaskSim:
         _opt = kwargs.get("opt")
         if isinstance(_opt, dict) and "L1Weight" in _opt:
             _opt = dict(_opt)
-            kwargs["wl1"] = _opt.pop("L1Weight")
+            # explicit wl1 kwarg wins over the dict key, matching the
+            # precedence of the refopts layer everywhere else
+            kwargs.setdefault("wl1", _opt.pop("L1Weight"))
+            _opt.pop("L1Weight", None)
             kwargs["opt"] = _opt
         D = jnp.asarray(D, dtype)
         S = jnp.asarray(S, dtype)

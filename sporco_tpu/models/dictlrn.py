@@ -50,9 +50,9 @@ def _ref_dl_opt(opt, subnames):
     outer fields and inner-solver subtree dicts.  Unknown keys raise,
     matching ``cdict`` semantics."""
     d = dict(opt)
-    outer = {"max_iter": d.pop("MaxMainIter", None)}
-    for k in ("Verbose", "StatusHeader", "IterTimer", "Callback",
-              "DictSize"):
+    outer = {"max_iter": d.pop("MaxMainIter", None),
+             "dsz": d.pop("DictSize", None)}
+    for k in ("Verbose", "StatusHeader", "IterTimer", "Callback"):
         d.pop(k, None)
     if d.pop("AccurateDFid", None):
         warnings.warn("AccurateDFid is not supported; DFid is reported "
@@ -64,17 +64,19 @@ def _ref_dl_opt(opt, subnames):
     return outer, subs
 
 
-def _sub_opts(cls, sub, current, **known_kw_out):
+def _sub_opts(cls, sub, current, known_kw_out=None):
     """Translate an inner-solver subtree dict to ``cls``'s native opts
     (returned unchanged when ``sub`` is None or ``current`` was given
-    explicitly).  Model-level keys named in ``known_kw_out`` are
-    extracted into it; any other are rejected with a clear message."""
+    explicitly).  Model-level keys present in the ``known_kw_out``
+    dict are extracted INTO it (it is mutated by reference); any other
+    are rejected with a clear message."""
     if sub is None or current is not None:
         return current
     opts, kw = refopts.translate(cls, sub)
-    for k in list(kw):
-        if k in known_kw_out:
-            known_kw_out[k] = kw.pop(k)
+    if known_kw_out:
+        for k in list(kw):
+            if k in known_kw_out:
+                known_kw_out[k] = kw.pop(k)
     if kw:
         raise refopts.UnknownKeyError(
             f"inner option keys mapping to constructor arguments "
@@ -157,11 +159,15 @@ class BPDNDictLearn(DictLearn):
         if xopt is None:
             xopt = _bpdn.BPDN.options(max_iter=1, rel_stop_tol=0.0)
         else:
-            xopt = xopt.replace(max_iter=1)
+            # the inner while_loop tests residuals BEFORE the body, so
+            # an inner tolerance would freeze the alternation on stale
+            # residuals; the reference always runs its single inner
+            # iteration unconditionally
+            xopt = xopt.replace(max_iter=1, rel_stop_tol=0.0)
         if dopt is None:
             dopt = _cmod.CnstrMOD.options(max_iter=1, rel_stop_tol=0.0)
         else:
-            dopt = dopt.replace(max_iter=1)
+            dopt = dopt.replace(max_iter=1, rel_stop_tol=0.0)
         xstep = _bpdn.BPDN(D0, S, lmbda, opt=xopt, dtype=dtype)
         Z0 = jnp.zeros((D0.shape[1], S.shape[1] if S.ndim > 1 else 1),
                        dtype)
@@ -189,8 +195,10 @@ class WeightedBPDNDictLearn(DictLearn):
         D0 = jnp.asarray(D0, dtype)
         S = jnp.asarray(S, dtype)
         D0 = _cmod.normalise(D0)
-        xopt = _pgm.WeightedBPDN.options(max_iter=1)
-        dopt = _pgm.WeightedCnstrMOD.options(max_iter=1)
+        xopt = _pgm.WeightedBPDN.options(max_iter=1,
+                                         rel_stop_tol=0.0)
+        dopt = _pgm.WeightedCnstrMOD.options(max_iter=1,
+                                             rel_stop_tol=0.0)
         xstep = _pgm.WeightedBPDN(D0, S, lmbda, W=W, opt=xopt,
                                   dtype=dtype)
         Z0 = np.zeros((D0.shape[1], S.shape[1] if S.ndim > 1 else 1))
@@ -220,15 +228,34 @@ class ConvBPDNDictLearn(DictLearn):
             outer, subs = _ref_dl_opt(opt, ("CBPDN", "CCMOD"))
             if outer["max_iter"] is not None:
                 max_iter = outer["max_iter"]
-            xcls = (_cbpdn.ConvBPDN if xmethod == "admm"
-                    else _pgm.ConvBPDN)
+            if outer["dsz"] is not None and dsz is None:
+                dsz = outer["dsz"]
+            if xmethod != "admm":
+                xcls = _pgm.ConvBPDN
+            elif mu > 0.0:
+                xcls = _cbpdn.ConvBPDNGradReg
+            else:
+                xcls = _cbpdn.ConvBPDN
             dcls = (_pgm.ConvCnstrMOD if dmethod == "pgm"
                     else _ccmod.ConvCnstrMODBase)
-            xopt = _sub_opts(xcls, subs["CBPDN"], xopt)
+            xkw = {"wgrd": None} if xcls is _cbpdn.ConvBPDNGradReg \
+                else None
+            xopt = _sub_opts(xcls, subs["CBPDN"], xopt, xkw)
+            if xkw and xkw["wgrd"] is not None:
+                wgrd = xkw["wgrd"]
             zm = {"zero_mean": None}
-            dopt = _sub_opts(dcls, subs["CCMOD"], dopt, **zm)
+            dopt = _sub_opts(dcls, subs["CCMOD"], dopt, zm)
             if zm["zero_mean"] is not None:
                 zero_mean = zm["zero_mean"]
+        if xopt is not None:
+            # every inner solve must run its single iteration even when
+            # stale residuals from the previous outer iteration are
+            # below tolerance: the inner while_loop tests BEFORE the
+            # body, and the reference always runs MaxMainIter=1
+            # unconditionally (sporco/dictlrn/cbpdndl.py:50-56)
+            xopt = xopt.replace(rel_stop_tol=0.0)
+        if dopt is not None:
+            dopt = dopt.replace(rel_stop_tol=0.0)
         D0 = jnp.asarray(D0, dtype)
         S = jnp.asarray(S, dtype)
         self.xmethod = xmethod
@@ -251,7 +278,7 @@ class ConvBPDNDictLearn(DictLearn):
                 xopt = _cbpdn.ConvBPDN.options(max_iter=1,
                                                rel_stop_tol=0.0)
             else:
-                xopt = xopt.replace(max_iter=1)
+                xopt = xopt.replace(max_iter=1, rel_stop_tol=0.0)
             if mu > 0.0:
                 # gradient-regularised sparse coding stage (the
                 # reference's cbpdndl_grd configuration)
@@ -264,7 +291,8 @@ class ConvBPDNDictLearn(DictLearn):
                                         dtype=dtype)
         else:
             if xopt is None:
-                xopt = _pgm.ConvBPDN.options(max_iter=1)
+                xopt = _pgm.ConvBPDN.options(max_iter=1,
+                                              rel_stop_tol=0.0)
             else:
                 xopt = xopt.replace(max_iter=1)
             xstep = _pgm.ConvBPDN(D0u, S, lmbda, opt=xopt, dimK=dimK,
@@ -272,7 +300,8 @@ class ConvBPDNDictLearn(DictLearn):
 
         Z0 = jnp.zeros(xstep.cri.shpX, dtype)
         if dmethod == "pgm":
-            dopt_ = _pgm.ConvCnstrMOD.options(max_iter=1) \
+            dopt_ = _pgm.ConvCnstrMOD.options(
+                max_iter=1, rel_stop_tol=0.0) \
                 if dopt is None else dopt.replace(max_iter=1)
             dstep = _pgm.ConvCnstrMOD(None, S, dsz, opt=dopt_,
                                       dimK=dimK, dimN=dimN,
@@ -340,10 +369,13 @@ class ConvBPDNMaskDictLearn(ConvBPDNDictLearn):
                 dcls = _ccmodmd_.ConvCnstrMODMaskDcpl_Consensus
             xopt = _sub_opts(xcls, subs["CBPDN"], xopt)
             zm = {"zero_mean": None}
-            dopt = _sub_opts(dcls, subs["CCMOD"], dopt, **zm)
+            dopt = _sub_opts(dcls, subs["CCMOD"], dopt, zm)
             if zm["zero_mean"] is not None:
                 zero_mean = zm["zero_mean"]
-        self._xopt_user, self._dopt_user = xopt, dopt
+        if xopt is not None:
+            xopt = xopt.replace(rel_stop_tol=0.0)
+        if dopt is not None:
+            dopt = dopt.replace(rel_stop_tol=0.0)
         D0 = jnp.asarray(D0, dtype)
         S = jnp.asarray(S, dtype)
         self.xmethod = xmethod
@@ -362,13 +394,15 @@ class ConvBPDNMaskDictLearn(ConvBPDNDictLearn):
                                             opt=xopt, dimK=dimK,
                                             dimN=dimN, dtype=dtype)
         else:
-            xopt = (_pgm.ConvBPDNMask.options() if xopt is None
+            xopt = (_pgm.ConvBPDNMask.options(rel_stop_tol=0.0)
+                    if xopt is None
                     else xopt).replace(max_iter=1)
             xstep = _pgm.ConvBPDNMask(D0u, S, lmbda, W=W, opt=xopt,
                                       dimK=dimK, dimN=dimN, dtype=dtype)
 
         if dmethod == "pgm":
-            dopt = (_pgm.ConvCnstrMODMask.options() if dopt is None
+            dopt = (_pgm.ConvCnstrMODMask.options(rel_stop_tol=0.0)
+                    if dopt is None
                     else dopt).replace(max_iter=1)
             dstep = _pgm.ConvCnstrMODMask(None, S, dsz, W=W, opt=dopt,
                                           dimK=dimK, dimN=dimN, D0=D0u,
@@ -449,8 +483,12 @@ class OnlineConvBPDNDictLearn:
             # reference-style option tree (sporco/dictlrn/onlinecdl.py:80)
             d = dict(opt)
             for k in ("Verbose", "StatusHeader", "IterTimer",
-                      "DictSize", "CUDA_CBPDN"):
+                      "CUDA_CBPDN"):
                 d.pop(k, None)
+            if d.pop("DictSize", None) is not None:
+                warnings.warn("DictSize is not supported by the online "
+                              "coordinator; the dictionary size comes "
+                              "from D0", stacklevel=2)
             if d.pop("DataType", None) is not None:
                 dtype = opt["DataType"]
             eta_a = d.pop("eta_a", eta_a)

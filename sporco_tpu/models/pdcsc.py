@@ -92,7 +92,8 @@ def _ystep(cfg, aux, params, state, AXU):
     rho = state.rho
     if cfg.variant == "joint":
         Y = sp.prox_sl1l2(AXU, (params["lmbda"] / rho) * params["wl1"],
-                          params["mu"] / rho, axis=1)
+                          (params["mu"] / rho) * params["wl21"],
+                          axis=1)
     else:
         Y = sp.prox_l1(AXU, (params["lmbda"] / rho) * params["wl1"])
     return Y
@@ -107,7 +108,8 @@ def _obfn(cfg, aux, params, state, xaux):
     gv = state.X
     rl1 = jnp.sum(jnp.abs(params["wl1"] * gv))
     if cfg.variant == "joint":
-        rl21 = jnp.sum(jnp.sqrt(jnp.sum(gv ** 2, axis=1)))
+        rl21 = jnp.sum(params["wl21"]
+                       * jnp.sqrt(jnp.sum(gv ** 2, axis=1)))
         return (dfd + params["lmbda"] * rl1 + params["mu"] * rl21,
                 dfd, rl1, rl21)
     return (dfd + params["lmbda"] * rl1, dfd, rl1)
@@ -273,7 +275,8 @@ class ConvProdDictBPDN(ADMMModel):
         return ADMMOpts(**base)
 
     def __init__(self, D, B, S, lmbda, opt=None, dimK=None, dimN=2,
-                 wl1=1.0, mu=0.0, dtype=jnp.float32, Y0=None, U0=None):
+                 wl1=1.0, mu=0.0, wl21=1.0, dtype=jnp.float32,
+                 Y0=None, U0=None):
         super().__init__()
         if opt is None:
             opt = self.options()
@@ -294,7 +297,8 @@ class ConvProdDictBPDN(ADMMModel):
         self.params = {"D": Di, "B": B, "S": Si,
                        "lmbda": jnp.asarray(lmbda, dtype),
                        "mu": jnp.asarray(mu, dtype),
-                       "wl1": jnp.asarray(wl1, dtype)}
+                       "wl1": jnp.asarray(wl1, dtype),
+                       "wl21": jnp.asarray(wl21, dtype)}
         self.problem = _PD_PROBLEMS[self.VARIANT]
         rho0 = opt.rho if opt.rho is not None else 50.0 * lmbda + 1.0
         rho_xi = (opt.auto_rho.rsdl_target

@@ -191,3 +191,76 @@ class TestAccelDicts:
         X = accel.cbpdnmsk(D, S, W, 0.1, opt={"MaxMainIter": 3,
                                               "L1Weight": 2.0})
         assert X.shape[-1] == D.shape[-1]
+
+
+class TestDictLearnSubtreeKeys:
+    """Regression tests for review findings: model-level keys inside
+    coordinator subtrees must reach the inner solvers."""
+
+    def _data(self):
+        rng = np.random.default_rng(0)
+        D0 = rng.standard_normal((6, 6, 8)).astype(np.float32)
+        S = rng.standard_normal((16, 16, 2)).astype(np.float32)
+        return D0, S
+
+    def test_zeromean_subtree(self):
+        from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+        D0, S = self._data()
+        d = ConvBPDNDictLearn(D0, S, 0.1, max_iter=1, dtype=np.float32,
+                              opt={"CCMOD": {"ZeroMean": True}})
+        assert d.dstep.cfg.zero_mean
+
+    def test_dictsize_maps_to_dsz(self):
+        from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+        D0, S = self._data()
+        d = ConvBPDNDictLearn(
+            D0, S, 0.1, dtype=np.float32,
+            opt={"DictSize": ((4, 4, 4), (6, 6, 4)),
+                 "MaxMainIter": 2})
+        d.solve()
+        D = np.asarray(d.getdict())
+        assert np.abs(D[4:, :, :4]).max() == 0.0
+
+    def test_gradweight_with_gradreg_xstep(self):
+        from sporco_tpu.models.cbpdn import ConvBPDNGradReg
+        from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+        D0, S = self._data()
+        d = ConvBPDNDictLearn(D0, S, 0.1, mu=0.1, max_iter=1,
+                              dtype=np.float32,
+                              opt={"CBPDN": {"GradWeight": 2.0}})
+        assert isinstance(d.xstep, ConvBPDNGradReg)
+        assert float(np.ravel(d.xstep.params["wgrd"])[0]) \
+            == pytest.approx(2.0)
+
+    def test_inner_tolerance_zeroed(self):
+        # a nonzero inner tolerance would freeze the re-entrant inner
+        # solve on stale residuals (the loop tests BEFORE the body)
+        from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+        D0, S = self._data()
+        d = ConvBPDNDictLearn(D0, S, 0.1, max_iter=1, dtype=np.float32,
+                              opt={"CBPDN": {"rho": 5.0}})
+        assert d.xstep.opts.rel_stop_tol == 0.0
+
+    def test_pdcsc_joint_l21weight(self):
+        from sporco_tpu.models.pdcsc import ConvProdDictBPDNJoint
+        rng = np.random.default_rng(0)
+        B = np.linalg.qr(rng.standard_normal((3, 3)))[0] \
+            .astype(np.float32)
+        Dp = rng.standard_normal((4, 4, 6)).astype(np.float32)
+        Sp = rng.standard_normal((16, 16, 3)).astype(np.float32)
+        j = ConvProdDictBPDNJoint(Dp, B, Sp, 0.1, mu=0.05, dimK=0,
+                                  opt={"L21Weight": 2.0,
+                                       "MaxMainIter": 3})
+        assert float(j.params["wl21"]) == pytest.approx(2.0)
+        j.solve()
+
+    def test_addmasksim_explicit_wl1_wins(self):
+        from sporco_tpu.models.cbpdn import AddMaskSim, ConvBPDN
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((4, 4, 4)).astype(np.float32)
+        S = rng.standard_normal((16, 16)).astype(np.float32)
+        W = np.ones((16, 16), np.float32)
+        ams = AddMaskSim(ConvBPDN, D, S, W, 0.1, wl1=3.0,
+                         opt={"MaxMainIter": 2, "L1Weight": 2.0})
+        wl1 = np.ravel(np.asarray(ams.cbpdn.params["wl1"]))
+        assert wl1.max() == pytest.approx(3.0)

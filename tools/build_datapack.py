@@ -129,8 +129,7 @@ def build_dicts():
         r = rng.integers(rgb.shape[0] - 128)
         c = rng.integers(rgb.shape[1] - 128)
         pr.append(_highpass(rgb[r:r + 128, c:c + 128]))
-    Sc = np.stack(pr, axis=-1).transpose(0, 1, 3, 2)   # N,N,K,C
-    Sc = np.ascontiguousarray(Sc.transpose(0, 1, 3, 2))  # N,N,C,K
+    Sc = np.stack(pr, axis=-1)                         # (N, N, C, K)
     print("training RGB:8x8x3x64", flush=True)
     from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
     rngd = np.random.default_rng(0)
