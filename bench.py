@@ -309,6 +309,8 @@ def _bench_pgm():
 def _bench_cdlcns():
     """Consensus dictionary learning, 40-image batch (BASELINE cfg 5)."""
     from sporco_tpu.parallel import consensus
+    from sporco_tpu.ops import mxufft
+    mxufft.set_precision("high")   # d-step M-channel DFTs on the MXU
     import jax
     rng = np.random.default_rng(0)
     N, Nd, M, K = 128, 8, 32, 40
@@ -374,6 +376,8 @@ def _bench_cdlcns_scaling():
     """
     import jax
     from sporco_tpu.parallel import launch, consensus
+    from sporco_tpu.ops import mxufft
+    mxufft.set_precision("high")
     n_dev = jax.device_count()
     n_proc = jax.process_count()
     mesh = launch.global_mesh()
