@@ -264,3 +264,80 @@ class TestDictLearnSubtreeKeys:
                          opt={"MaxMainIter": 2, "L1Weight": 2.0})
         wl1 = np.ravel(np.asarray(ams.cbpdn.params["wl1"]))
         assert wl1.max() == pytest.approx(3.0)
+
+
+class TestBroaderModelCoverage:
+    """Reference-dict acceptance across the remaining model families."""
+
+    def test_tv_deconv(self):
+        from sporco_tpu.models.tv import TVL1Deconv
+        rng = np.random.default_rng(0)
+        S = rng.standard_normal((16, 16)).astype(np.float32)
+        A = np.ones((3, 3), np.float32) / 9.0
+        b = TVL1Deconv(A, S, 0.1, opt={"MaxMainIter": 3,
+                                       "TVWeight": 0.5, "rho": 5.0,
+                                       "LinSolveCheck": False})
+        b.solve()
+
+    def test_spline(self):
+        from sporco_tpu.models.spline import SplineL1
+        rng = np.random.default_rng(0)
+        S = rng.standard_normal((16, 16)).astype(np.float32)
+        b = SplineL1(S, 2.0, opt={"MaxMainIter": 3, "DFidWeight": 1.5,
+                                  "gEvalY": True})
+        assert float(b.params["Wdf"]) == pytest.approx(1.5)
+        b.solve()
+
+    def test_rpca(self):
+        from sporco_tpu.models.rpca import RobustPCA
+        rng = np.random.default_rng(0)
+        S = rng.standard_normal((16, 16)).astype(np.float32)
+        b = RobustPCA(S, opt={"MaxMainIter": 3, "fEvalX": True,
+                              "gEvalY": True})
+        b.solve()
+
+    def test_minl1_ball(self):
+        from sporco_tpu.models.bpdn import MinL1InL2Ball
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((8, 16)).astype(np.float32)
+        s = rng.standard_normal(8).astype(np.float32)
+        b = MinL1InL2Ball(D, s, 0.5, opt={"MaxMainIter": 3,
+                                          "L1Weight": 2.0,
+                                          "NonNegCoef": True})
+        assert b.cfg.non_neg
+        b.solve()
+
+    def test_parcbpdn(self):
+        from sporco_tpu.models.parcbpdn import ParConvBPDN
+        D, S = _prob()
+        b = ParConvBPDN(D, S, 0.1, ngrp=2,
+                        opt={"MaxMainIter": 3, "L1Weight": 1.5,
+                             "alpha": 2.0})
+        b.solve()
+
+    def test_cbpdnin(self):
+        from sporco_tpu.models.cbpdnin import ConvBPDNInhib
+        D, S = _prob()
+        Wg = np.ones((2, D.shape[-1]), np.float32)
+        b = ConvBPDNInhib(D, S, Wg=Wg, Whn=4, lmbda=0.1, mu=0.1,
+                          opt={"MaxMainIter": 3, "SmoothWeight": 0.8})
+        assert b.cfg.smooth == pytest.approx(0.8)
+        b.solve()
+
+    def test_cbpdntv(self):
+        from sporco_tpu.models.cbpdntv import ConvBPDNScalarTV
+        D, S = _prob()
+        b = ConvBPDNScalarTV(D, S, 0.1, mu=0.05,
+                             opt={"MaxMainIter": 3, "TVWeight": 2.0})
+        b.solve()
+
+    def test_online_cdl(self):
+        from sporco_tpu.models.dictlrn import OnlineConvBPDNDictLearn
+        rng = np.random.default_rng(0)
+        D0 = rng.standard_normal((4, 4, 6)).astype(np.float32)
+        S = rng.standard_normal((16, 16)).astype(np.float32)
+        o = OnlineConvBPDNDictLearn(
+            D0, 0.1, opt={"eta_a": 20.0, "ZeroMean": True,
+                          "CBPDN": {"MaxMainIter": 10}})
+        assert o.eta_a == pytest.approx(20.0) and o.zero_mean
+        o.solve(S)
