@@ -15,9 +15,10 @@ reference:
 - ``fault_dem.png``: the Jacksboro fault digital elevation model
   (matplotlib's ``jacksboro_fault_dem.npz``), 512x512 grayscale.
 - ``convdict.npz``: convolutional dictionaries (``G:8x8x64``,
-  ``G:12x12x36``, ``G:8x8x32``, ``RGB:8x8x3x64``) trained on the two
-  grayscale images (and the RGB portrait) with
-  :class:`sporco_tpu.parallel.consensus.ConvBPDNDictLearn_Consensus`.
+  ``G:12x12x36``, ``G:8x8x32``, ``RGB:8x8x3x64``, and the multi-scale
+  ``G:4x4x8,8x8x12,12x12x16``) trained on the grayscale images (and
+  the RGB portrait) with this framework's own dictionary learning
+  (consensus CDL; multi-scale via ``ConvBPDNDictLearn(dsz=...)``).
 
 Run from the repo root: ``python tools/build_datapack.py`` (about a
 minute on a TPU chip; runs on CPU too).  The outputs are committed, so
@@ -138,6 +139,18 @@ def build_dicts():
                           dtype=np.float32)
     d.solve()
     out["RGB:8x8x3x64"] = np.asarray(d.getdict()).astype(np.float32)
+
+    # multi-scale dictionary (three supports in one representation)
+    print("training G:4x4x8,8x8x12,12x12x16", flush=True)
+    from sporco_tpu.models.dictlrn import ConvBPDNDictLearn
+    dsz = ((4, 4, 8), (8, 8, 12), (12, 12, 16))
+    D0m = np.random.default_rng(1).standard_normal(
+        (12, 12, 36)).astype(np.float32)
+    dm = ConvBPDNDictLearn(D0m, S[..., :8], lmbda=0.1, max_iter=40,
+                           dtype=np.float32, dsz=dsz)
+    dm.solve()
+    out["G:4x4x8,8x8x12,12x12x16"] = \
+        np.asarray(dm.getdict()).astype(np.float32)
 
     np.savez(os.path.join(_OUT, "convdict.npz"), **out)
     print("wrote", os.path.join(_OUT, "convdict.npz"))
