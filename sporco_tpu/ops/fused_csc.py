@@ -57,13 +57,17 @@ UNROLL = 4        # iterations per while_loop step (overhead amortisation)
 MAX_SUPPORT = 24  # largest filter support the spatial form beats FFT at
 
 # Matmul precision for the polyphase x-step convolutions.
-#   "high"  (default): bf16 3-pass -- trajectories match the generic
-#           f32 path to ~2e-4 (the tested configuration).
-#   "mixed": forward conv single-pass bf16, adjoint 3-pass -- measured
-#           545 vs 520 iters/s on the 512x512x64 headline, converging
-#           to the same 1e-3 tolerance in 188 vs 183 iterations with
-#           ~4e-4 relative objective drift.  Single-pass bf16 for BOTH
-#           convolutions stalls at residual ~3e-3 and never converges.
+#   "high"  (default): f32-faithful.  On the Pallas kernel path the
+#           accuracy-critical forward product (which feeds the
+#           cancellation-prone x-step residual) runs as a 6-pass bf16
+#           split (~1e-7 relative); the adjoint and rescale-correction
+#           products run 3-pass (~5e-6).  Ground-truth recovery matches
+#           the exact-f32 XLA path (rrs 2.4e-4 on the verify config).
+#   "mixed": forward product single-pass bf16 -- slightly faster with
+#           small objective drift; kept as an opt-in.  Single-pass bf16
+#           for BOTH products stalls at residual ~3e-3 and never
+#           converges (measured; do not lower the adjoint below
+#           3-pass).
 _MATMUL_PRECISION = "high"
 
 
