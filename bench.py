@@ -281,13 +281,20 @@ def _bench_rpca():
     # randomized-SVD nuclear prox (rank-bounded subspace iteration,
     # ops/prox.py:prox_nuclear): exact for this low-rank target,
     # replaces the full-SVD bottleneck of the reference's x-step
-    b = rpca.RobustPCA(S, opt=opt, svd_rank=16)
+    rank = 16
+    b = rpca.RobustPCA(S, opt=opt, svd_rank=rank)
     b.solve()
-    b2 = rpca.RobustPCA(S, opt=opt, svd_rank=16)
+    b2 = rpca.RobustPCA(S, opt=opt, svd_rank=rank)
     _settle(b2)
     t0 = time.time(); b2.solve(); t = time.time() - t0
     n = len(b2.getitstat())
-    flops = 6 * 2 * N * N * 26 * 2  # sketch/subspace matmuls dominate
+    # sketch/subspace matmuls dominate: 6 N*N x sketch-width products
+    # per prox_nuclear call (sketch width = rank + its oversample default)
+    import inspect
+    from sporco_tpu.ops import prox as _prox
+    sk = rank + inspect.signature(
+        _prox.prox_nuclear).parameters["oversample"].default
+    flops = 6 * 2 * N * N * sk * 2
     ips = n / t
     return {"metric": "RobustPCA 512x512 iters/s",
             "value": round(ips, 2), "unit": "iters/s", "iters": n,

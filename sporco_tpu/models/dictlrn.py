@@ -48,8 +48,9 @@ def _ref_dl_opt(opt, subnames):
     """Split a reference-style DictLearn option dict
     (``sporco/dictlrn/dictlrn.py:213``, ``cbpdndl.py:270-290``) into
     outer fields and inner-solver subtree dicts.  Unknown keys raise,
-    matching ``cdict`` semantics."""
-    d = dict(opt)
+    matching ``cdict`` semantics.  Tuple keys address nested nodes
+    (``sporco/cdict.py:260-307``)."""
+    d = dict(refopts._expand_tuple_keys(opt))
     outer = {"max_iter": d.pop("MaxMainIter", None),
              "dsz": d.pop("DictSize", None)}
     for k in ("Verbose", "StatusHeader", "IterTimer", "Callback"):
@@ -481,7 +482,7 @@ class OnlineConvBPDNDictLearn:
                  dtype=jnp.float32):
         if isinstance(opt, dict):
             # reference-style option tree (sporco/dictlrn/onlinecdl.py:80)
-            d = dict(opt)
+            d = dict(refopts._expand_tuple_keys(opt))
             for k in ("Verbose", "StatusHeader", "IterTimer",
                       "CUDA_CBPDN"):
                 d.pop(k, None)

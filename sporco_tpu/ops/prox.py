@@ -178,7 +178,11 @@ def prox_nuclear(v, alpha, rank=None, n_iter=2, oversample=10):
 
     Returns ``(X, s)`` where ``s`` are the thresholded singular values
     (parity with ``sporco/prox/_nuclear.py:45``).  Batched over leading
-    axes by jnp.linalg.svd.
+    axes by jnp.linalg.svd.  With ``rank`` set, ``s`` has length
+    ``min(rank + oversample, m, n)`` rather than the reference's full
+    ``min(m, n)``: only the sketched spectrum is computed, so callers
+    inspecting the spectrum (or summing ``s`` for the nuclear norm when
+    the discarded tail exceeds ``alpha``) see a truncated vector.
 
     With ``rank`` set, uses a randomized rank-``rank + oversample``
     subspace-iteration SVD (halko-2011-finding, Alg. 4.4) instead of

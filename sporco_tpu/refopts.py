@@ -178,13 +178,48 @@ def keymap(cls):
     return out
 
 
+def _expand_tuple_keys(opt):
+    """Normalise the reference's tuple-key item addressing
+    (``sporco/cdict.py:260-307``: ``opt[('AutoRho', 'Period')] = 5``
+    addresses the nested node) into plain nested dicts, merging with any
+    nested-dict entries for the same subtree.  Later entries win, in
+    dict insertion order, matching repeated ``__setitem__`` calls."""
+    if not any(isinstance(k, tuple) for k in opt):
+        return opt
+    out = {}
+    for key, val in opt.items():
+        if isinstance(key, tuple):
+            if not key:
+                raise UnknownKeyError("empty tuple option key")
+            if len(key) == 1:
+                key, node = key[0], val
+            else:
+                node = val
+                for k in reversed(key[1:]):
+                    node = {k: node}
+                key = key[0]
+            val = node
+        if (key in out and isinstance(out[key], dict)
+                and isinstance(val, dict)):
+            merged = dict(out[key])
+            merged.update(val)
+            val = merged
+        out[key] = val
+    return out
+
+
 def translate(cls, opt):
     """Translate a reference-style option dict for model class ``cls``.
+
+    Plain nested dicts and the reference's tuple-key addressing
+    (``opt[('AutoRho', 'Period')] = 5``, ``sporco/cdict.py:260-307``)
+    are both accepted.
 
     Returns ``(opts, kw)``: the native options object (built from
     ``cls.options()`` so the model's own defaults apply) and a dict of
     constructor keyword-argument updates.
     """
+    opt = _expand_tuple_keys(opt)
     kmap = keymap(cls)
     ofields, kw, ar = {}, {}, {}
 
@@ -201,7 +236,7 @@ def translate(cls, opt):
                     "native mechanism", stacklevel=3)
             return
         if spec == "autorho":
-            for k2, v2 in val.items():
+            for k2, v2 in _expand_tuple_keys(val).items():
                 if k2 not in _AUTORHO:
                     raise UnknownKeyError(
                         f"unknown AutoRho option key {k2!r}")
@@ -216,7 +251,7 @@ def translate(cls, opt):
         elif kind == "omulti":
             ofields.update(spec[1](val))
         elif kind == "sub":
-            for k2, v2 in val.items():
+            for k2, v2 in _expand_tuple_keys(val).items():
                 if k2 not in spec[1]:
                     raise UnknownKeyError(
                         f"unknown {key!r} option sub-key {k2!r}")

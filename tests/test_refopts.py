@@ -58,6 +58,53 @@ class TestADMMTranslation:
         with pytest.raises(refopts.UnknownKeyError):
             ConvBPDN(D, S, 0.1, opt={"AutoRho": {"Bogus": 1}})
 
+    def test_tuple_key_addressing(self):
+        # reference ConstrainedDict tuple-key item access
+        # (sporco/cdict.py:260-307): opt[('AutoRho', 'Period')] = 5
+        from sporco_tpu.models.bpdn import BPDN
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((8, 16)).astype(np.float32)
+        s = rng.standard_normal(8).astype(np.float32)
+        opt = {"MaxMainIter": 7}
+        opt[("AutoRho", "Period")] = 5
+        opt[("AutoRho", "Enabled")] = False
+        opt[("RelStopTol",)] = 1e-4
+        b = BPDN(D, s, 0.1, opt=opt)
+        assert b.opts.max_iter == 7
+        assert b.opts.auto_rho.period == 5
+        assert not b.opts.auto_rho.enabled
+        assert b.opts.rel_stop_tol == pytest.approx(1e-4)
+
+    def test_tuple_key_merges_with_nested_dict(self):
+        from sporco_tpu.models.bpdn import BPDN
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((8, 16)).astype(np.float32)
+        s = rng.standard_normal(8).astype(np.float32)
+        opt = {"AutoRho": {"Enabled": False}}
+        opt[("AutoRho", "Period")] = 9      # merge, not replace
+        b = BPDN(D, s, 0.1, opt=opt)
+        assert not b.opts.auto_rho.enabled
+        assert b.opts.auto_rho.period == 9
+
+    def test_tuple_key_in_subtree(self):
+        # tuple keys inside a nested composite subtree value
+        from sporco_tpu.models.dictlrn import OnlineConvBPDNDictLearn
+        rng = np.random.default_rng(0)
+        D0 = rng.standard_normal((4, 4, 6)).astype(np.float32)
+        o = OnlineConvBPDNDictLearn(
+            D0, 0.1, opt={("CBPDN", "MaxMainIter"): 10})
+        assert o.cbpdn_opt.max_iter == 10
+
+    def test_tuple_key_unknown_raises(self):
+        from sporco_tpu.models.bpdn import BPDN
+        rng = np.random.default_rng(0)
+        D = rng.standard_normal((8, 16)).astype(np.float32)
+        s = rng.standard_normal(8).astype(np.float32)
+        with pytest.raises(refopts.UnknownKeyError):
+            BPDN(D, s, 0.1, opt={("AutoRho", "Bogus"): 1})
+        with pytest.raises(refopts.UnknownKeyError):
+            BPDN(D, s, 0.1, opt={(): 1})
+
     def test_none_values_are_defaults(self):
         from sporco_tpu.models.cbpdn import ConvBPDN
         D, S = _prob()
