@@ -245,6 +245,39 @@ def _bench_bpdn():
             "tflops_per_s": round(ips * flops / 1e12, 4)}
 
 
+def _bench_bpdn_batch():
+    """Batched BPDN: 256 instances (shared 512x512 dictionary, 256
+    right-hand sides) solved in ONE program -- the natural TPU form for
+    small problems whose single-instance iteration leaves the chip
+    idle.  Shapes and stopping semantics match the reference's native
+    multi-signal BPDN (``sporco/admm/bpdn.py:271``: S of shape (N, K),
+    one aggregate stopping rule), so vs_baseline compares identical
+    per-iteration work."""
+    from sporco_tpu.models import bpdn
+    rng = np.random.default_rng(0)
+    N, M, K = 512, 512, 256
+    D = rng.standard_normal((N, M)).astype(np.float32)
+    x0 = np.zeros((M, K), np.float32)
+    for k in range(K):
+        x0[rng.choice(M, 32, replace=False), k] = \
+            rng.standard_normal(32)
+    S = (D @ x0).astype(np.float32)
+    opt = bpdn.BPDN.options(max_iter=500, rel_stop_tol=1e-3)
+    b = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
+    b.solve()
+    b2 = bpdn.BPDN(D, S, lmbda=1e-2, opt=opt)
+    _settle(b2)
+    t0 = time.time(); b2.solve(); t = time.time() - t0
+    n = len(b2.getitstat())
+    flops = 2 * M * M * (2 + 1) * K
+    ips = n / t
+    return {"metric": "BPDN batched 512x512, 256 problems, iters/s",
+            "value": round(ips, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4), "K": K,
+            "problem_iters_per_s": round(ips * K, 0),
+            "tflops_per_s": round(ips * flops / 1e12, 4)}
+
+
 def _bench_tvl2():
     """TV-L2 denoising, 256x256 (BASELINE config 2)."""
     from sporco_tpu.models import tv
@@ -450,7 +483,9 @@ def _run_all():
     record written to bench_all.json."""
     _enable_compile_cache()
     results = []
-    for name, fn in [("bpdn", _bench_bpdn), ("tvl2", _bench_tvl2),
+    for name, fn in [("bpdn", _bench_bpdn),
+                     ("bpdn_batch", _bench_bpdn_batch),
+                     ("tvl2", _bench_tvl2),
                      ("rpca", _bench_rpca), ("pgm", _bench_pgm),
                      ("cdlcns", _bench_cdlcns),
                      ("cbpdn_batch", _bench_cbpdn_batch),
@@ -476,7 +511,8 @@ def main():
         if cfg == "all":
             return _run_all()
         _enable_compile_cache()
-        out = {"bpdn": _bench_bpdn, "tvl2": _bench_tvl2,
+        out = {"bpdn": _bench_bpdn, "bpdn_batch": _bench_bpdn_batch,
+               "tvl2": _bench_tvl2,
                "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
                "cdlcns_scaling": _bench_cdlcns_scaling,
                "cbpdn_batch": _bench_cbpdn_batch,

@@ -57,6 +57,23 @@ def bpdn():
             "n_iter_measured": n}
 
 
+def bpdn_batch():
+    from sporco.admm import bpdn as r
+    rng = np.random.default_rng(0)
+    N, M, K = 512, 512, 256
+    D = rng.standard_normal((N, M)).astype(np.float32)
+    x0 = np.zeros((M, K), np.float32)
+    for k in range(K):
+        x0[rng.choice(M, 32, replace=False), k] = \
+            rng.standard_normal(32)
+    S = (D @ x0).astype(np.float32)
+    n = 50
+    opt = r.BPDN.Options({'Verbose': False, 'MaxMainIter': n,
+                          'RelStopTol': 0.0})
+    return {"iters_per_s": _time_solve(r.BPDN(D, S, 1e-2, opt), n),
+            "n_iter_measured": n, "K": K}
+
+
 def tvl2():
     from sporco.admm import tvl2 as r
     rng = np.random.default_rng(0)
@@ -142,7 +159,8 @@ def cbpdn_batch():
     return {"iters_per_s": ips, "n_iter_measured": n, "K": K}
 
 
-CONFIGS = {"bpdn": bpdn, "tvl2": tvl2, "rpca": rpca, "pgm": pgm,
+CONFIGS = {"bpdn": bpdn, "bpdn_batch": bpdn_batch,
+           "tvl2": tvl2, "rpca": rpca, "pgm": pgm,
            "cdlcns": cdlcns, "cdlcns_scaling": cdlcns_scaling,
            "cbpdn_batch": cbpdn_batch}
 

@@ -39,10 +39,17 @@ def device_sync(state):
         return
     scalar = next((l for l in leaves if getattr(l, "ndim", None) == 0),
                   None)
-    if scalar is not None:
-        jax.device_get(scalar)
-    else:
-        jax.device_get(jnp.ravel(leaves[-1])[:1])
+    if scalar is None:
+        scalar = jnp.ravel(leaves[-1])[:1]
+    # start the device->host copy asynchronously first: the request's
+    # forward leg travels to the (possibly remote) device while the
+    # producing program is still running, so the blocking fetch below
+    # pays only the return leg instead of a full round trip
+    try:
+        scalar.copy_to_host_async()
+    except Exception:
+        pass
+    jax.device_get(scalar)
 
 
 class ADMMModel:

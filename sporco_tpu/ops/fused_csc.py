@@ -53,7 +53,9 @@ __all__ = ["cbpdn_solve", "eligible", "consensus_eligible",
            "xstep_kernels", "spatial_xstep"]
 
 PS = 8            # polyphase factor (spatial fold per axis)
-UNROLL = 4        # iterations per while_loop step (overhead amortisation)
+UNROLL = 8        # iterations per while_loop step (overhead amortisation;
+                  # converged iterations inside a step are cond-skipped;
+                  # 16 was measured SLOWER: 0.90 vs 0.75 ms/iter)
 MAX_SUPPORT = 24  # largest filter support the spatial form beats FFT at
 
 # Matmul precision for the polyphase x-step convolutions.
@@ -464,12 +466,17 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         # Per-dot precision (pass counts of the bf16-split matmuls):
         # R1 feeds the x-step residual ``Sf - rfft(D yu)``, whose
         # cancellation near convergence amplifies relative error, so it
-        # gets the f32-faithful 6-pass; the adjoint and the
-        # rescale-correction R2 are accuracy-insensitive at 3-pass
-        # (measured: recovery rrs 2.4e-4 == the XLA f32 path, vs
-        # 1.4e-3 with R1 at 3-pass).  "mixed" drops R1 to single-pass.
-        fwd_passes = 1 if prec_mode == "mixed" else 6
+        # gets a second-order split (4-pass, ~5e-7 relative -- measured
+        # trajectory-identical to the f32-faithful 6-pass on the
+        # benchmark config, where 3-pass at ~2e-5 was not: recovery rrs
+        # degraded 2.4e-4 -> 1.4e-3); the adjoint is fine at 3-pass and
+        # the rescale-correction R2 needs 3-pass (1-pass was measured
+        # to shift the trajectory ~3e-3 under period-1 AutoRho
+        # rescaling, where its ``1 - us`` factor is not small).
+        # "mixed" drops R1 to single-pass.
+        fwd_passes = 1 if prec_mode == "mixed" else 4
         adj_passes = 3
+        r2_passes = 3
 
     k0 = state.k
     nc = math.sqrt(K * M * n0 * n1)
@@ -666,13 +673,17 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
         G2 = _adj_rolls(poly_pack(G), ja0, ja1)
         thr = (lmbda / rho) * wl1p
-        PX2, PY2, PU2, R1n, R2n, sums = pki.csc_iter(
+        # emit_px=False: X is only consumed through the kernel's fused
+        # reduction sums inside the loop; skipping its 67 MB/iter store
+        # cuts ~20% of the kernel's HBM traffic.  The final X is
+        # materialised once after the loop (see below).
+        _, PY2, PU2, R1n, R2n, sums = pki.csc_iter(
             G2.reshape(pos, Ta), PY.reshape(pos, C),
             PUr.reshape(pos, C), Wa_sp, Wf_sp, thr, wl1p, rlx, us,
             scale, nonneg=cfg.non_neg, fwd_passes=fwd_passes,
-            adj_passes=adj_passes, r2_passes=3)
+            adj_passes=adj_passes, r2_passes=r2_passes, emit_px=False)
         pshape = PY.shape
-        PX = PX2.reshape(pshape)
+        PX = st.X                      # carried through unchanged
         PYn = PY2.reshape(pshape)
         PUn = PU2.reshape(pshape)
         rnrm = jnp.sqrt(sums[0])
@@ -744,6 +755,21 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
                                      body_unrolled,
                                      (st0, jnp.float32(1.0),
                                       (R10, R20)))
+        # The loop body never stores X (emit_px=False saves a 67 MB
+        # write per iteration); materialise it once here as the x-step
+        # at the final (Y, U, rho) -- exactly what the next iteration
+        # (or a resumed solve) would compute.  It differs from the last
+        # in-loop X by O(stopping tolerance); all per-iteration X
+        # statistics were computed exactly inside the kernel.
+        if mu is None:
+            beta_f, scale_f = stf.rho, jnp.float32(1.0)
+        else:
+            beta_f = stf.rho + mu
+            scale_f = stf.rho / beta_f
+        PXf, _, _, _, _ = spatial_xstep(
+            stf.Y - usf * stf.U, Wf, Wa, js, DHD, sfr, sfi, beta_f,
+            scale_f, cri.Nv, prec, prec_fwd)
+        stf = stf._replace(X=PXf)
     else:
         stf, usf = lax.while_loop(lambda c: cond(c[0]), body_unrolled,
                                   (st0, jnp.float32(1.0)))
@@ -919,7 +945,9 @@ def _pgm_fused_kernel_run(cfg, opts, params, state, prec_mode,
     lmbda = params["lmbda"]
     prec_fwd = (lax.Precision.DEFAULT if prec_mode == "mixed"
                 else lax.Precision.HIGH)
-    fwd_passes = 1 if prec_mode == "mixed" else 6
+    # second-order 4-pass split for the gradient's forward product
+    # (same accuracy reasoning as the ADMM kernel above)
+    fwd_passes = 1 if prec_mode == "mixed" else 4
 
     D = params["D"].reshape(M, nd0, nd1)
     Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)

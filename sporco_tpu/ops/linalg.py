@@ -259,7 +259,10 @@ def gram_eig_factor(a, of_ata=None):
     n, m = a.shape
     if of_ata is None:
         of_ata = n >= m
-    g = a.T @ a if of_ata else a @ a.T
+    # f32-faithful Gram product: this runs eagerly at model init, where
+    # the TPU default matmul precision would be single-pass bf16
+    with jax.default_matmul_precision("highest"):
+        g = a.T @ a if of_ata else a @ a.T
     g = g.astype(_promoted(a.dtype))
     evals, evecs = jnp.linalg.eigh(g)
     return GramEigFactor(evecs.astype(a.dtype),

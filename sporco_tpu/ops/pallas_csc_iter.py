@@ -1,13 +1,12 @@
 """One-pass Pallas kernel for the fused ConvBPDN ADMM iteration core.
 
-The fused CSC driver (:mod:`sporco_tpu.ops.fused_csc`) is
-HBM-bandwidth-bound.  Its iteration, expressed as separate XLA ops,
-touches the three packed state arrays (67 MB each at the 512x512x64
-benchmark size) many times: the adjoint polyphase matmul writes its
-output, the x-step combine re-reads ``Pyu``, the relax/prox/dual tail
-re-reads everything, and XLA emits the six residual/objective
-reductions as a second full pass.  Measured on a v5e chip that is
-~1.6 ms of the 1.9 ms iteration.
+The fused CSC driver's iteration (:mod:`sporco_tpu.ops.fused_csc`),
+expressed as separate XLA ops, touches the packed state arrays (67 MB
+each at the 512x512x64 benchmark size) many times: the adjoint
+polyphase matmul writes its output, the x-step combine re-reads
+``Pyu``, the relax/prox/dual tail re-reads everything, and XLA emits
+the six residual/objective reductions as a second full pass.  Measured
+on a v5e chip that is ~1.6 ms of the 1.9 ms iteration.
 
 This kernel performs the ENTIRE state-array portion of one iteration in
 a single pass over HBM:
@@ -21,10 +20,19 @@ a single pass over HBM:
               R1  = (Yn - Un) @ Wf                (NEXT x-step's forward
                                                    MXU matmul, operand
                                                    still in registers)
-    outputs : PX, Yn, Un (67 MB; Yn/Un aliased in-place onto Y/U),
-              R1 and R2 = Un @ Wf (small), and per-lane partial sums
-              of the six reductions (||PX-Yn||^2, ||Yn-Y||^2,
-              ||PX||^2, ||Yn||^2, ||Un||^2, sum|wl1*PX|).
+    outputs : Yn, Un (67 MB; aliased in-place onto Y/U), optionally PX
+              (``emit_px``; the ADMM driver skips it -- X is only ever
+              consumed through the fused sums), R1 and R2 = Un @ Wf
+              (small), and per-lane partial sums of the six reductions
+              (||PX-Yn||^2, ||Yn-Y||^2, ||PX||^2, ||Yn||^2, ||Un||^2,
+              sum|wl1*PX|).
+
+With the one-pass structure in place the kernel is MXU-pass-bound, not
+HBM-bound (measured ~84% MXU / ~69% HBM utilisation at the benchmark
+size; see the roofline in ``docs/performance.md``): per-iteration cost
+tracks the bf16 split pass count (adjoint 3 + forward 4 + R2 3), and
+removing the PX store changes nothing while removing MXU passes
+recovers exactly the predicted time.
 
     ``R2`` exists to keep AutoRho's dual rescale OFF the state arrays:
     the next x-step needs ``(Yn - us*Un) @ Wf`` for a rescale factor
@@ -34,16 +42,16 @@ a single pass over HBM:
     re-reading the state instead measured +0.34 ms/iteration because
     the potential read blocks the in-place aliasing.
 
-Both matmuls run as manual bf16 3-pass splits (``Precision.HIGH``
-equivalent -- Mosaic does not lower f32 dot precisions) with f32
-accumulation; weights arrive pre-split.  ``input_output_aliases`` for
-Yn/Un is what makes the kernel fast (measured 1.05 -> 0.64 ms/iter at
-the benchmark size): Mosaic updates the state buffers in place instead
-of streaming to fresh allocations.
+The matmuls run as manual bf16 multi-pass splits (Mosaic does not
+lower f32 dot precisions) with f32 accumulation; weights arrive
+pre-split.  ``input_output_aliases`` for Yn/Un is what makes the
+kernel fast (measured 1.05 -> 0.64 ms/iter at the benchmark size):
+Mosaic updates the state buffers in place instead of streaming to
+fresh allocations.
 
 Measured on one v5e chip (512x512x64 ConvBPDN, in-loop): this kernel
-0.64 ms vs 1.6 ms for the XLA op sequence it replaces; whole solver
-~1.0 ms/iteration vs 1.9 ms (see ``docs/performance.md``).
+0.52 ms vs 1.6 ms for the XLA op sequence it replaces; whole solver
+0.75 ms/iteration vs 1.9 ms (see ``docs/performance.md``).
 
 Covers the l1/elastic variants with scalar or per-channel weights and
 optional non-negativity; AMS masking and fully spatially-varying
@@ -139,9 +147,12 @@ def _dot3(x, w_hi, w_lo, passes):
     """Matmul of f32 ``x`` against a pre-split bf16 weight pair with
     f32 accumulation.  ``passes=6`` is f32-faithful (3-term operand
     splits, 6 MXU passes -- what XLA's einsum delivers on this backend
-    via ``--xla_allow_excess_precision``); ``passes=3`` is the nominal
-    ``Precision.HIGH`` bf16 3-pass (~2e-5 relative error);
-    ``passes=1`` single-pass bf16 (the driver's "mixed" mode)."""
+    via ``--xla_allow_excess_precision``); ``passes=4`` keeps both
+    second-order terms (~5e-7 relative, the driver default for the
+    cancellation-sensitive forward product since round 5);
+    ``passes=3`` is the nominal ``Precision.HIGH`` bf16 3-pass (~2e-5
+    relative error); ``passes=1`` single-pass bf16 (the driver's
+    "mixed" mode)."""
     dims = (((1,), (0,)), ((), ()))
     d = lambda a, b: jax.lax.dot_general(
         a, b, dims, preferred_element_type=jnp.float32)
@@ -152,22 +163,30 @@ def _dot3(x, w_hi, w_lo, passes):
         w1, w2, w3 = w_hi
         return (d(x1, w1) + (d(x1, w2) + d(x2, w1))
                 + (d(x1, w3) + d(x2, w2) + d(x3, w1)))
+    if passes == 4:
+        x1, x2 = _split_bf16_kernel(x)
+        w1, w2 = w_hi[0], w_hi[1]
+        return (d(x1, w1) + (d(x1, w2) + d(x2, w1)) + d(x2, w2))
     x_hi, x_lo = _split_bf16_kernel(x)
     return d(x_hi, w_hi) + d(x_hi, w_lo) + d(x_lo, w_hi)
 
 
-def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, g_ref,
-                 y_ref, u_ref,
+def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, emit_px,
+                 g_ref, y_ref, u_ref,
                  wa_hi_ref, wa_lo_ref, wa_3_ref, wf_hi_ref, wf_lo_ref,
                  wf_3_ref, thr_ref, wl1_ref,
-                 scal_ref, px_ref, yn_ref, un_ref, r1_ref, r2_ref,
-                 acc_ref):
+                 scal_ref, *out_refs):
+    if emit_px:
+        px_ref, yn_ref, un_ref, r1_ref, r2_ref, acc_ref = out_refs
+    else:
+        yn_ref, un_ref, r1_ref, r2_ref, acc_ref = out_refs
     rlx = scal_ref[0, 0]
     us = scal_ref[0, 1]
     scale = scal_ref[0, 2]
     def wdot(x, hi_ref, lo_ref, w3_ref, passes):
-        if passes == 6:
-            return _dot3(x, (hi_ref[:], lo_ref[:], w3_ref[:]), None, 6)
+        if passes >= 4:
+            return _dot3(x, (hi_ref[:], lo_ref[:], w3_ref[:]), None,
+                         passes)
         return _dot3(x, hi_ref[:], lo_ref[:], passes)
 
     a = wdot(g_ref[:], wa_hi_ref, wa_lo_ref, wa_3_ref, adj_passes)
@@ -181,7 +200,8 @@ def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, g_ref,
     if nonneg:
         yn = jnp.maximum(yn, 0.0)
     un = u + ax - yn
-    px_ref[:] = px
+    if emit_px:
+        px_ref[:] = px
     yn_ref[:] = yn
     un_ref[:] = un
     r1_ref[:] = wdot(yn - un, wf_hi_ref, wf_lo_ref, wf_3_ref,
@@ -201,9 +221,11 @@ def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, g_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nonneg", "fwd_passes",
-                                    "adj_passes", "r2_passes"))
+                                    "adj_passes", "r2_passes",
+                                    "emit_px"))
 def _iter_call(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr,
-               wl1, scal, nonneg, fwd_passes, adj_passes, r2_passes):
+               wl1, scal, nonneg, fwd_passes, adj_passes, r2_passes,
+               emit_px):
     R, C = Y.shape
     T = G2.shape[1]
     BR = _pick_block_rows(R, C)
@@ -216,9 +238,14 @@ def _iter_call(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr,
                                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, C), lambda i: (0, 0),
                        memory_space=pltpu.VMEM)
-    px, yn, un, r1, r2, acc = pl.pallas_call(
+    px_specs = [row] if emit_px else []
+    px_shapes = ([jax.ShapeDtypeStruct((R, C), jnp.float32)]
+                 if emit_px else [])
+    # in-place update of the state buffers: the measured 1.6x
+    aliases = {1: 1, 2: 2} if emit_px else {1: 0, 2: 1}
+    outs = pl.pallas_call(
         functools.partial(_iter_kernel, nonneg, fwd_passes,
-                          adj_passes, r2_passes),
+                          adj_passes, r2_passes, emit_px),
         grid=(Gn,),
         in_specs=[rowT, row, row,
                   w_spec((T, C)), w_spec((T, C)), w_spec((T, C)),
@@ -226,16 +253,17 @@ def _iter_call(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr,
                   vec, vec,
                   pl.BlockSpec((1, 3), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=[row, row, row, rowT, rowT,
-                   pl.BlockSpec((8, C), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((R, C), jnp.float32)] * 3
+        out_specs=px_specs + [row, row, rowT, rowT,
+                              pl.BlockSpec((8, C), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM)],
+        out_shape=px_shapes
+        + [jax.ShapeDtypeStruct((R, C), jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((R, T), jnp.float32),
            jax.ShapeDtypeStruct((R, T), jnp.float32),
            jax.ShapeDtypeStruct((Gn * 8, C), jnp.float32)],
-        # in-place update of the state buffers: the measured 1.6x
-        input_output_aliases={1: 1, 2: 2},
-        name=f"csc_iter_f{fwd_passes}a{adj_passes}r{r2_passes}",
+        input_output_aliases=aliases,
+        name=f"csc_iter_f{fwd_passes}a{adj_passes}r{r2_passes}"
+             f"{'' if emit_px else 'nx'}",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 pltpu.GridDimensionSemantics.ARBITRARY,),
@@ -243,12 +271,18 @@ def _iter_call(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr,
         interpret=interpret,
     )(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr, wl1,
       scal)
+    if emit_px:
+        px, yn, un, r1, r2, acc = outs
+    else:
+        yn, un, r1, r2, acc = outs
+        px = None
     part = acc.reshape(Gn, 8, C)
     return px, yn, un, r1, r2, jnp.sum(part, axis=(0, 2))[:_NSUM]
 
 
 def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
-             nonneg=False, fwd_passes=6, adj_passes=3, r2_passes=3):
+             nonneg=False, fwd_passes=6, adj_passes=3, r2_passes=3,
+             emit_px=True):
     """One fused CSC ADMM iteration over the packed 2-D state.
 
     ``G2`` is the rolled adjoint operand ``(pos, T)``; ``Y``/``U`` the
@@ -257,6 +291,13 @@ def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
     forward polyphase weights; ``thr``/``wl1`` scalars or per-channel
     vectors.  Returns ``(PX, Yn, Un, R1, R2, sums)`` -- see module
     docstring.
+
+    With ``emit_px=False`` the kernel skips the 67 MB/iteration ``PX``
+    store (``PX`` is only ever consumed through the fused reduction
+    sums inside the ADMM loop; the driver materialises the final X once
+    after the loop) and returns ``PX = None``.  This removes ~20% of
+    the kernel's HBM traffic (see the roofline in
+    ``docs/performance.md``).
     """
     R, C = Y.shape
     thr2 = jnp.broadcast_to(jnp.asarray(thr, Y.dtype), (1, C))
@@ -267,7 +308,7 @@ def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
     return _iter_call(G2, Y, U, Wa_split[0], Wa_split[1], Wa_split[2],
                       Wf_split[0], Wf_split[1], Wf_split[2], thr2,
                       wl12, scal, bool(nonneg), int(fwd_passes),
-                      int(adj_passes), int(r2_passes))
+                      int(adj_passes), int(r2_passes), bool(emit_px))
 
 
 # ---------------------------------------------------------------------------
@@ -293,8 +334,9 @@ def _pgm_kernel(nonneg, fwd_passes, adj_passes, g_ref, y_ref, xp_ref,
     beta = scal_ref[0, 1]        # (t_prv - 1) / t
 
     def wdot(x, hi_ref, lo_ref, w3_ref, passes):
-        if passes == 6:
-            return _dot3(x, (hi_ref[:], lo_ref[:], w3_ref[:]), None, 6)
+        if passes >= 4:
+            return _dot3(x, (hi_ref[:], lo_ref[:], w3_ref[:]), None,
+                         passes)
         return _dot3(x, hi_ref[:], lo_ref[:], passes)
 
     a = wdot(g_ref[:], wa_hi_ref, wa_lo_ref, wa_3_ref, adj_passes)

@@ -354,7 +354,21 @@ def _admm_run(prob, cfg, params, opts, state):
                          k=st.k + 1, r=r, s=s, epri=epri, edua=edua,
                          stats=stats, extra=st2.extra)
 
-    return jax.lax.while_loop(cond, body, state)
+    # Amortise the per-step while_loop overhead (~0.3-0.5 ms on remote
+    # TPU backends, dominant for small problems like BPDN/TVL2) over
+    # several exactly-guarded iterations: once the stopping test
+    # passes, remaining inner iterations are skipped via lax.cond, so
+    # semantics are identical to a per-iteration loop.  CPU keeps the
+    # plain loop (no overhead to amortise; smaller test-suite graphs).
+    unroll = 4 if jax.default_backend() in ("tpu", "axon") else 1
+
+    def body_unrolled(st):
+        st = body(st)
+        for _ in range(unroll - 1):
+            st = jax.lax.cond(cond(st), body, lambda s: s, st)
+        return st
+
+    return jax.lax.while_loop(cond, body_unrolled, state)
 
 
 def _update_rho(ar: AutoRhoOpts, k, r, s, rho, xi, U):
@@ -379,8 +393,17 @@ def _update_rho(ar: AutoRhoOpts, k, r, s, rho, xi, U):
 
 def admm_solve(prob, cfg, params, opts, state):
     """Run one (re-entrant) solve call; returns the final state.  Thin
-    host wrapper over the jitted driver."""
-    return _admm_run(prob, cfg, params, opts, state)
+    host wrapper over the jitted driver.
+
+    The trace runs under ``default_matmul_precision('highest')``: on
+    TPU, unannotated matmuls otherwise run single-pass bf16 (~4e-3
+    relative), which puts a noise floor under the x-step solves that
+    the reference's f32 semantics do not have (observed: batched BPDN
+    K=256 plateaus at r~5e-2 and AutoRho collapses rho).  Kernels that
+    deliberately trade precision pass an explicit ``precision=`` and
+    are unaffected."""
+    with jax.default_matmul_precision("highest"):
+        return _admm_run(prob, cfg, params, opts, state)
 
 
 def iterstats(prob, state, k_start=0):

@@ -296,12 +296,25 @@ def _pgm_run(prob, cfg, params, opts, state):
                             k=st.k, o=row[1], r=rsdl, L=st2.L)
         return st2._replace(k=st.k + 1, rsdl=rsdl, stats=stats)
 
-    return jax.lax.while_loop(cond, body, state)
+    # per-step while_loop overhead amortisation with exact cond guards
+    # (same scheme and rationale as solvers/admm.py:_admm_run)
+    unroll = 4 if jax.default_backend() in ("tpu", "axon") else 1
+
+    def body_unrolled(st):
+        st = body(st)
+        for _ in range(unroll - 1):
+            st = jax.lax.cond(cond(st), body, lambda s: s, st)
+        return st
+
+    return jax.lax.while_loop(cond, body_unrolled, state)
 
 
 def pgm_solve(prob, cfg, params, opts, state):
-    """Run one (re-entrant) PGM solve call; returns the final state."""
-    return _pgm_run(prob, cfg, params, opts, state)
+    """Run one (re-entrant) PGM solve call; returns the final state.
+    Traced under ``default_matmul_precision('highest')`` -- same
+    rationale as :func:`sporco_tpu.solvers.admm.admm_solve`."""
+    with jax.default_matmul_precision("highest"):
+        return _pgm_run(prob, cfg, params, opts, state)
 
 
 def pgm_iterstats(prob, state, k_start=0):
