@@ -371,9 +371,12 @@ def _bench_cdlcns():
     d = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
                                               max_iter=50)
     d.solve()
-    d2 = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
-                                               max_iter=50)
-    t0 = time.time(); d2.solve(); t = time.time() - t0
+    t = float("inf")
+    for _ in range(3):
+        d2 = consensus.ConvBPDNDictLearn_Consensus(D0, S, lmbda=0.1,
+                                                   max_iter=50)
+        _settle(d2)
+        t0 = time.time(); d2.solve(); t = min(t, time.time() - t0)
     flops = K * (_cbpdn_fused_flops(N, M, Nd) + 8 * N * N * M)
     ips = 50 / t
     return {"metric": "Consensus CDL 128x128x40 outer iters/s",
@@ -441,9 +444,12 @@ def _bench_cdlcns_scaling():
     d = launch.consensus_cdl(D0, S_local, lmbda=0.1, mesh=mesh,
                              max_iter=30)
     d.solve()
-    d2 = launch.consensus_cdl(D0, S_local, lmbda=0.1, mesh=mesh,
-                              max_iter=30)
-    t0 = time.time(); d2.solve(); t = time.time() - t0
+    t = float("inf")
+    for _ in range(3):
+        d2 = launch.consensus_cdl(D0, S_local, lmbda=0.1, mesh=mesh,
+                                  max_iter=30)
+        _settle(d2)
+        t0 = time.time(); d2.solve(); t = min(t, time.time() - t0)
     ips = 30 / t
     return {"metric": "Consensus CDL weak-scaling (8 images/device) "
                       "outer iters/s",

@@ -172,14 +172,25 @@ def _dot3(x, w_hi, w_lo, passes):
 
 
 def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, emit_px,
-                 g_ref, y_ref, u_ref,
-                 wa_hi_ref, wa_lo_ref, wa_3_ref, wf_hi_ref, wf_lo_ref,
-                 wf_3_ref, thr_ref, wl1_ref,
-                 scal_ref, *out_refs):
+                 emit_fwd, *refs):
+    g_ref, y_ref, u_ref = refs[0:3]
+    wa_hi_ref, wa_lo_ref, wa_3_ref = refs[3:6]
+    i = 6
+    if emit_fwd:
+        wf_hi_ref, wf_lo_ref, wf_3_ref = refs[i:i + 3]
+        i += 3
+    thr_ref, wl1_ref, scal_ref = refs[i:i + 3]
+    out_refs = refs[i + 3:]
+    j = 0
     if emit_px:
-        px_ref, yn_ref, un_ref, r1_ref, r2_ref, acc_ref = out_refs
-    else:
-        yn_ref, un_ref, r1_ref, r2_ref, acc_ref = out_refs
+        px_ref = out_refs[j]
+        j += 1
+    yn_ref, un_ref = out_refs[j:j + 2]
+    j += 2
+    if emit_fwd:
+        r1_ref, r2_ref = out_refs[j:j + 2]
+        j += 2
+    acc_ref = out_refs[j]
     rlx = scal_ref[0, 0]
     us = scal_ref[0, 1]
     scale = scal_ref[0, 2]
@@ -204,9 +215,10 @@ def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, emit_px,
         px_ref[:] = px
     yn_ref[:] = yn
     un_ref[:] = un
-    r1_ref[:] = wdot(yn - un, wf_hi_ref, wf_lo_ref, wf_3_ref,
-                     fwd_passes)
-    r2_ref[:] = wdot(un, wf_hi_ref, wf_lo_ref, wf_3_ref, r2_passes)
+    if emit_fwd:
+        r1_ref[:] = wdot(yn - un, wf_hi_ref, wf_lo_ref, wf_3_ref,
+                         fwd_passes)
+        r2_ref[:] = wdot(un, wf_hi_ref, wf_lo_ref, wf_3_ref, r2_passes)
     d = px - yn
     e = yn - y
     # sublane-only (axis 0) partial sums; the cross-lane reduction of
@@ -222,10 +234,9 @@ def _iter_kernel(nonneg, fwd_passes, adj_passes, r2_passes, emit_px,
 @functools.partial(jax.jit,
                    static_argnames=("nonneg", "fwd_passes",
                                     "adj_passes", "r2_passes",
-                                    "emit_px"))
-def _iter_call(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr,
-               wl1, scal, nonneg, fwd_passes, adj_passes, r2_passes,
-               emit_px):
+                                    "emit_px", "emit_fwd"))
+def _iter_call(G2, Y, U, Wa, Wf, thr, wl1, scal, nonneg, fwd_passes,
+               adj_passes, r2_passes, emit_px, emit_fwd):
     R, C = Y.shape
     T = G2.shape[1]
     BR = _pick_block_rows(R, C)
@@ -238,51 +249,61 @@ def _iter_call(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr,
                                         memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, C), lambda i: (0, 0),
                        memory_space=pltpu.VMEM)
-    px_specs = [row] if emit_px else []
-    px_shapes = ([jax.ShapeDtypeStruct((R, C), jnp.float32)]
-                 if emit_px else [])
+    in_specs = [rowT, row, row,
+                w_spec((T, C)), w_spec((T, C)), w_spec((T, C))]
+    args = [G2, Y, U, Wa[0], Wa[1], Wa[2]]
+    if emit_fwd:
+        in_specs += [w_spec((C, T))] * 3
+        args += [Wf[0], Wf[1], Wf[2]]
+    in_specs += [vec, vec,
+                 pl.BlockSpec((1, 3), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)]
+    args += [thr, wl1, scal]
+    out_specs, out_shape = [], []
+    if emit_px:
+        out_specs.append(row)
+        out_shape.append(jax.ShapeDtypeStruct((R, C), jnp.float32))
+    out_specs += [row, row]
+    out_shape += [jax.ShapeDtypeStruct((R, C), jnp.float32)] * 2
+    if emit_fwd:
+        out_specs += [rowT, rowT]
+        out_shape += [jax.ShapeDtypeStruct((R, T), jnp.float32)] * 2
+    out_specs.append(pl.BlockSpec((8, C), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((Gn * 8, C), jnp.float32))
     # in-place update of the state buffers: the measured 1.6x
     aliases = {1: 1, 2: 2} if emit_px else {1: 0, 2: 1}
     outs = pl.pallas_call(
         functools.partial(_iter_kernel, nonneg, fwd_passes,
-                          adj_passes, r2_passes, emit_px),
+                          adj_passes, r2_passes, emit_px, emit_fwd),
         grid=(Gn,),
-        in_specs=[rowT, row, row,
-                  w_spec((T, C)), w_spec((T, C)), w_spec((T, C)),
-                  w_spec((C, T)), w_spec((C, T)), w_spec((C, T)),
-                  vec, vec,
-                  pl.BlockSpec((1, 3), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)],
-        out_specs=px_specs + [row, row, rowT, rowT,
-                              pl.BlockSpec((8, C), lambda i: (i, 0),
-                                           memory_space=pltpu.VMEM)],
-        out_shape=px_shapes
-        + [jax.ShapeDtypeStruct((R, C), jnp.float32)] * 2
-        + [jax.ShapeDtypeStruct((R, T), jnp.float32),
-           jax.ShapeDtypeStruct((R, T), jnp.float32),
-           jax.ShapeDtypeStruct((Gn * 8, C), jnp.float32)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases=aliases,
         name=f"csc_iter_f{fwd_passes}a{adj_passes}r{r2_passes}"
-             f"{'' if emit_px else 'nx'}",
+             f"{'' if emit_px else 'nx'}{'' if emit_fwd else 'nf'}",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 pltpu.GridDimensionSemantics.ARBITRARY,),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(G2, Y, U, Wa_hi, Wa_lo, Wa_3, Wf_hi, Wf_lo, Wf_3, thr, wl1,
-      scal)
-    if emit_px:
-        px, yn, un, r1, r2, acc = outs
+    )(*args)
+    outs = list(outs)
+    px = outs.pop(0) if emit_px else None
+    yn, un = outs.pop(0), outs.pop(0)
+    if emit_fwd:
+        r1, r2 = outs.pop(0), outs.pop(0)
     else:
-        yn, un, r1, r2, acc = outs
-        px = None
+        r1 = r2 = None
+    acc = outs.pop(0)
     part = acc.reshape(Gn, 8, C)
     return px, yn, un, r1, r2, jnp.sum(part, axis=(0, 2))[:_NSUM]
 
 
 def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
              nonneg=False, fwd_passes=6, adj_passes=3, r2_passes=3,
-             emit_px=True):
+             emit_px=True, emit_fwd=True):
     """One fused CSC ADMM iteration over the packed 2-D state.
 
     ``G2`` is the rolled adjoint operand ``(pos, T)``; ``Y``/``U`` the
@@ -298,6 +319,13 @@ def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
     after the loop) and returns ``PX = None``.  This removes ~20% of
     the kernel's HBM traffic (see the roofline in
     ``docs/performance.md``).
+
+    With ``emit_fwd=False`` the R1/R2 forward products are neither
+    computed nor returned, skipping ``fwd_passes + r2_passes`` MXU
+    passes (the kernel's dominant cost).  Callers that recompute the
+    forward product against fresh weights anyway -- the consensus-CDL
+    CSC stage, whose dictionary changes every outer iteration -- should
+    pass False; ``Wf_split`` may then be ``None``.
     """
     R, C = Y.shape
     thr2 = jnp.broadcast_to(jnp.asarray(thr, Y.dtype), (1, C))
@@ -305,10 +333,11 @@ def csc_iter(G2, Y, U, Wa_split, Wf_split, thr, wl1, rlx, us, scale,
     scal = jnp.stack([jnp.asarray(rlx, jnp.float32),
                       jnp.asarray(us, jnp.float32),
                       jnp.asarray(scale, jnp.float32)]).reshape(1, 3)
-    return _iter_call(G2, Y, U, Wa_split[0], Wa_split[1], Wa_split[2],
-                      Wf_split[0], Wf_split[1], Wf_split[2], thr2,
+    return _iter_call(G2, Y, U, Wa_split,
+                      Wf_split if emit_fwd else None, thr2,
                       wl12, scal, bool(nonneg), int(fwd_passes),
-                      int(adj_passes), int(r2_passes), bool(emit_px))
+                      int(adj_passes), int(r2_passes), bool(emit_px),
+                      bool(emit_fwd))
 
 
 # ---------------------------------------------------------------------------

@@ -160,10 +160,15 @@ def _consensus_solve(cfg, params, state, n_iter):
             G = sf.irfftn(gr + 1j * gi, s=Nv, axes=(-2, -1))
             G2 = fc._adj_rolls(fc.poly_pack(G), ja0, ja1)
             thr = (lmbda / rho_x) * params["wl1"]
+            # emit_px/emit_fwd off: X is not consumed (the d-step uses
+            # ZY), and the forward product is recomputed against the
+            # NEXT outer iteration's fresh dictionary weights anyway --
+            # skipping R1/R2 removes 9 of the kernel's 12 MXU passes
             _, ZYn2, ZUn2, _, _, _ = pki.csc_iter(
                 G2.reshape(pos, -1), ZY.reshape(pos, C),
                 ZU.reshape(pos, C), pki.split_bf16_3(Wa_),
-                pki.split_bf16_3(Wf_), thr, 1.0, ax_, 1.0, 1.0)
+                None, thr, 1.0, ax_, 1.0, 1.0,
+                emit_px=False, emit_fwd=False)
             ZY = ZYn2.reshape(K, p0, p1, C)
             ZU = ZUn2.reshape(K, p0, p1, C)
         elif cfg.fused_x:
