@@ -850,10 +850,18 @@ class AddMaskSim:
         self.Wams = Wi
 
         # l1 weight zeroed on impulse maps (reference user layout
-        # Nv + (C, K, M), here all-singleton except M)
-        user_wl1 = kwargs.pop("wl1", 1.0)
+        # Nv + (C, K, M), here all-singleton except M).  The reference
+        # expects weights already extended to M + nimp
+        # (sporco/admm/cbpdn.py:2360); an un-extended per-filter array
+        # is also accepted and padded.
+        user_wl1 = jnp.asarray(kwargs.pop("wl1", 1.0), dtype)
+        if user_wl1.ndim and user_wl1.shape[-1] == self.M:
+            user_wl1 = jnp.concatenate(
+                [user_wl1,
+                 jnp.ones(user_wl1.shape[:-1] + (nimp,), dtype)],
+                axis=-1)
         wl1 = jnp.ones((1,) * (dimN + 2) + (self.M + nimp,), dtype) \
-            * jnp.asarray(user_wl1, dtype)
+            * user_wl1
         wl1 = wl1.at[..., self.M:].set(0.0)
 
         self.cbpdn = cbpdnclass(Daug, S, *args, wl1=wl1, dtype=dtype,

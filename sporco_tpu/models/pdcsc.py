@@ -244,6 +244,20 @@ _PDG_PROBLEMS = {
 }
 
 
+def _pd_l1_weight(wl1, dimN, dtype):
+    """Translate an l1 weight array to the product-dict internal
+    layout ``(K, R, M, n0, n1)``: scalars pass through; per-filter
+    vectors and reference-layout arrays with a trailing filter axis
+    (``sporco/cnvrep.py:492``, e.g. ``(1, 1, 1, 1, M)``) land on the
+    M axis."""
+    w = jnp.asarray(wl1, dtype)
+    if w.ndim > 1 and all(s == 1 for s in w.shape[:-1]):
+        w = w.reshape(-1)
+    if w.ndim == 1:
+        w = w.reshape((1, 1, w.shape[0]) + (1,) * dimN)
+    return w
+
+
 class ConvProdDictBPDN(ADMMModel):
     r"""CSC with a product dictionary:
     ``argmin_X (1/2)||D X B^T - S||^2 + lmbda ||X||_1``
@@ -297,7 +311,7 @@ class ConvProdDictBPDN(ADMMModel):
         self.params = {"D": Di, "B": B, "S": Si,
                        "lmbda": jnp.asarray(lmbda, dtype),
                        "mu": jnp.asarray(mu, dtype),
-                       "wl1": jnp.asarray(wl1, dtype),
+                       "wl1": _pd_l1_weight(wl1, dimN, dtype),
                        "wl21": jnp.asarray(wl21, dtype)}
         self.problem = _PD_PROBLEMS[self.VARIANT]
         rho0 = opt.rho if opt.rho is not None else 50.0 * lmbda + 1.0
@@ -403,7 +417,7 @@ class ConvProdDictL1L1Grd(ConvProdDictBPDN):
                        "lmbda": jnp.asarray(lmbda, dtype),
                        "mu": jnp.asarray(mu, dtype),
                        "mu2": jnp.asarray(mu2, dtype),
-                       "wl1": jnp.asarray(wl1, dtype),
+                       "wl1": _pd_l1_weight(wl1, dimN, dtype),
                        "wl21": jnp.asarray(wl21, dtype),
                        "wgrd": wgrda}
         self.problem = _PDG_PROBLEMS[self.VARIANT]
