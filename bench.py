@@ -37,6 +37,16 @@ def _enable_compile_cache():
                           os.path.join(_HERE, ".jax_cache_tpu"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           0.5)
+        # Make cache keys stable across source-line shifts: Pallas
+        # (Mosaic) payloads embed the pallas_call's full call-stack
+        # source locations, so without this ANY line shift anywhere on
+        # the trace path (even a comment edit in bench.py) re-keys the
+        # kernel-bearing programs and silently invalidates the
+        # committed cache (measured round 5: plain jit/while_loop
+        # programs are location-stable, pallas-bearing ones are not;
+        # with the limit at 0 both are stable against caller AND
+        # kernel-module line shifts).
+        jax.config.update("jax_traceback_in_locations_limit", 0)
     except Exception:
         pass
 
