@@ -370,6 +370,42 @@ class TestPallasIterKernel:
                     (unr ** 2).sum(), np.abs(pxr).sum()]
         assert np.allclose(np.asarray(sums), ref_sums, rtol=1e-3)
 
+    def test_kernel_reduced_outputs(self):
+        # emit_px=False / emit_fwd=False variants (the ADMM-loop and
+        # consensus-CDL configurations) must produce identical Yn/Un
+        # and sums while skipping the PX store and R1/R2 products
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        rng = np.random.default_rng(0)
+        pos, C, T = 64, 256, 128
+        G2 = jnp.asarray(rng.standard_normal((pos, T)).astype("f"))
+        Y = jnp.asarray(rng.standard_normal((pos, C)).astype("f"))
+        U = jnp.asarray(rng.standard_normal((pos, C)).astype("f"))
+        Wa = pki.split_bf16_3(jnp.asarray(
+            rng.standard_normal((T, C)).astype("f") * 0.1))
+        Wf = pki.split_bf16_3(jnp.asarray(
+            rng.standard_normal((C, T)).astype("f") * 0.1))
+        args = (0.05, 1.0, 1.8, 0.9, 0.8)
+        pki.interpret = True
+        try:
+            px_f, yn_f, un_f, r1_f, r2_f, sums_f = pki.csc_iter(
+                G2, Y, U, Wa, Wf, *args)
+            px_n, yn_n, un_n, r1_n, r2_n, sums_n = pki.csc_iter(
+                G2, Y, U, Wa, Wf, *args, emit_px=False)
+            px_c, yn_c, un_c, r1_c, r2_c, sums_c = pki.csc_iter(
+                G2, Y, U, Wa, None, *args, emit_px=False,
+                emit_fwd=False)
+        finally:
+            pki.interpret = False
+        assert px_n is None and px_c is None
+        assert r1_c is None and r2_c is None
+        for yn2, un2, sums2 in ((yn_n, un_n, sums_n),
+                                (yn_c, un_c, sums_c)):
+            assert np.allclose(np.asarray(yn2), np.asarray(yn_f))
+            assert np.allclose(np.asarray(un2), np.asarray(un_f))
+            assert np.allclose(np.asarray(sums2), np.asarray(sums_f),
+                               rtol=1e-5)
+        assert np.allclose(np.asarray(r1_n), np.asarray(r1_f))
+
 
 class TestPallasPGMKernel:
     """The one-pass Pallas FISTA kernel must reproduce the packed-XLA
