@@ -35,8 +35,13 @@ def _enable_compile_cache():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(_HERE, ".jax_cache_tpu"))
+        # 2 s rather than the 0.5 s default floor: through the relay
+        # even trivial helper programs (ravel/dynamic_slice in
+        # _settle/getitstat) take >0.5 s to "compile", which kept
+        # appending tiny shape-keyed entries and made warm detection
+        # flap; real solver programs compile in 30-240 s
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          0.5)
+                          2.0)
         # Make cache keys stable across source-line shifts: Pallas
         # (Mosaic) payloads embed the pallas_call's full call-stack
         # source locations, so without this ANY line shift anywhere on
@@ -91,9 +96,14 @@ def _settle(model):
                     if hasattr(l, "ravel") and l.size])
 
 def _cache_entries():
+    """Substantial cache entries (the solver programs).  Sub-100 KB
+    helper programs (ravel/slice utilities) are ignored: their
+    shape-keyed long tail would otherwise flap the ``cache_warm``
+    detection without affecting the benchmark budget."""
     d = os.path.join(_HERE, ".jax_cache_tpu")
     try:
-        return set(os.listdir(d))
+        return {e for e in os.listdir(d)
+                if os.path.getsize(os.path.join(d, e)) > 100 * 1024}
     except OSError:
         return set()
 

@@ -61,8 +61,10 @@ def _headline_block():
 
 # fixed annotations per bench_all metric name (matched by prefix)
 _NOTES = {
-    "BPDN": "ADMM, cached Gram eigendecomposition",
-    "BPDN batched": "vmapped multi-problem form",
+    "BPDN": "single instance: bound by the ~30 ms dispatch floor "
+            "over ~44 iterations; see the batched row",
+    "BPDN batched": "256 problems in one program, reference "
+                    "multi-signal semantics",
     "TVL2Denoise": "",
     "RobustPCA": "randomized-SVD nuclear prox, rank 16",
     "ConvBPDN-FISTA": "one-pass Pallas kernel, zero FFT/iter",

@@ -37,7 +37,11 @@ def _git(*args, **kw):
 
 
 def _tracked():
-    out = _git("ls-files", ".jax_cache_tpu").stdout.split()
+    # entries committed at HEAD -- NOT ``ls-files``, which also lists
+    # freshly staged additions and would make pruning eat the entries
+    # this very refresh just produced
+    out = _git("ls-tree", "-r", "--name-only", "HEAD",
+               ".jax_cache_tpu").stdout.split()
     return {os.path.basename(p) for p in out}
 
 
