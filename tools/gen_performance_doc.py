@@ -77,11 +77,12 @@ _NOTES = {
 
 
 def _note_for(metric):
-    best = ""
+    """Longest-prefix-matching annotation for a bench metric name."""
+    best, note = "", ""
     for k, v in _NOTES.items():
         if metric.startswith(k) and len(k) > len(best):
             best, note = k, v
-    return note if best else ""
+    return note
 
 
 def _all_configs_block():

@@ -88,25 +88,22 @@ def main(argv):
             print("bench failed; aborting", file=sys.stderr)
             return 1
 
-    # 3. warm assertion + access tracking via mtime-preserving reads
-    import time
-    mark = time.time()
+    # 3. warm assertion
     rc, out = _run_bench()
     if not out.get("cache_warm"):
         print("cache still cold after refresh run", file=sys.stderr)
         return 1
 
     new = _entries() - before
-    # entries read since `before` populated: atime-based tracking is
-    # unreliable (relatime), so keep every entry either pre-tracked and
-    # still present or newly written; prune tracked entries whose key
-    # no program produced anymore only when --prune is given
+    # atime-based access tracking is unreliable (relatime), so keep
+    # every entry that is pre-tracked and still present or newly
+    # written; prune superseded tracked entries only when --prune is
+    # given
     if new:
         _git("add", *sorted(os.path.join(".jax_cache_tpu", e)
                             for e in new))
         print(f"staged {len(new)} new entries")
     if "--prune" in argv:
-        stale = tracked - _entries()
         live = _entries()
         # tracked entries never re-written this refresh AND older than
         # the refresh start are candidates; conservative: only remove
