@@ -440,6 +440,37 @@ def _bench_cbpdn_batch():
             "image_iters_per_s": round(K * n / t_best, 2)}
 
 
+def _bench_serve():
+    """Serving latency: repeated single-image ConvBPDN solves against
+    a WARM program (the deployment steady state -- one program shape,
+    pre-warmed at startup; see docs/performance.md cold-start notes).
+    Reports per-request latency percentiles rather than throughput."""
+    from sporco_tpu.models import cbpdn
+    from sporco_tpu.ops import mxufft
+    mxufft.set_precision("high")
+    D, S, lmbda = _headline_problem()
+    opt = cbpdn.ConvBPDN.options(max_iter=500, rel_stop_tol=1e-3)
+    b = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+    b.solve()                                   # warm the program
+    lats = []
+    for i in range(12):
+        b2 = cbpdn.ConvBPDN(D, S, lmbda=lmbda, opt=opt)
+        _settle(b2)
+        t0 = time.time()
+        b2.solve()
+        lats.append(time.time() - t0)
+    lats.sort()
+    n = len(b2.getitstat())
+    p50 = lats[len(lats) // 2]
+    p95 = lats[int(len(lats) * 0.95)]
+    return {"metric": "ConvBPDN 512x512x64 serving latency to 1e-3 "
+                      "(warm program)",
+            "value": round(p50 * 1e3, 1), "unit": "ms p50",
+            "p95_ms": round(p95 * 1e3, 1),
+            "min_ms": round(lats[0] * 1e3, 1),
+            "iters": n, "requests": len(lats)}
+
+
 def _bench_cdlcns_scaling():
     """Weak-scaling harness for the BASELINE multi-host target (>=80%
     scaling efficiency for consensus dict-learn on 2+ hosts): K = 8
@@ -542,6 +573,7 @@ def main():
                "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
                "cdlcns_scaling": _bench_cdlcns_scaling,
                "cbpdn_batch": _bench_cbpdn_batch,
+               "serve": _bench_serve,
                "pgm": _bench_pgm}[cfg]()
         out = _ref_vs_baseline(cfg, out)
         print(json.dumps(out))
