@@ -82,6 +82,22 @@ def _cbpdn_fused_flops(N, M, nd, ps=8):
     return mm + fft + elem
 
 
+# HARDWARE FLOPs per iteration: the bf16 split passes the MXU actually
+# executes (adjoint 3-pass + forward 4-pass + R2 3-pass = 10 passes of
+# the pos x C x taps*ps^2 product; docs/performance.md roofline).  The
+# algorithmic count above divides by the pass redundancy, so it
+# understates device utilisation.
+def _cbpdn_hw_flops(N, M, nd, ps=8):
+    pos = (N // ps) * (N // ps)
+    C = ps * ps * M
+    taps = 4
+    per_pass = 2 * pos * C * (taps * ps * ps)
+    mm = 10 * per_pass
+    fft = 2 * 5 * N * N * np.log2(N * N)
+    elem = 14 * pos * C
+    return mm + fft + elem
+
+
 
 
 def _settle(model):
@@ -157,6 +173,11 @@ def _tpu_run(D, S, lmbda, max_iter):
         "device": str(jax.devices()[0]),
         "tflops_per_s": round(ips * flops / 1e12, 2),
         "pct_bf16_peak": round(100 * ips * flops / 1e12 / 197.0, 2),
+        # device-executed FLOPs incl. the bf16 split-pass redundancy
+        "hw_tflops_per_s": round(
+            ips * _cbpdn_hw_flops(512, 64, 8) / 1e12, 2),
+        "hw_pct_bf16_peak": round(
+            100 * ips * _cbpdn_hw_flops(512, 64, 8) / 1e12 / 197.0, 2),
     }
 
 
