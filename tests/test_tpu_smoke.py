@@ -186,3 +186,58 @@ class TestCoordinatorsOnDevice:
         assert float(its.PrimalRsdl[-1]) <= 1e-3
         assert (np.linalg.norm(x - img)
                 < np.linalg.norm(S - img))
+
+
+class TestWiderFamiliesOnDevice:
+    """One quick on-device convergence pin per remaining family."""
+
+    def test_spline(self):
+        from sporco_tpu.models.spline import SplineL1
+        rng = _seeded(11)
+        N = 64
+        img = np.outer(np.linspace(0, 1, N),
+                       np.linspace(0, 1, N)).astype(np.float32)
+        S = img.copy()
+        idx = rng.choice(N * N, 200, replace=False)
+        S.ravel()[idx] += 5.0 * rng.standard_normal(200)
+        b = SplineL1(S, lmbda=5.0,
+                     opt=SplineL1.options(max_iter=100))
+        x = np.asarray(b.solve())
+        assert (np.linalg.norm(x - img)
+                < 0.3 * np.linalg.norm(S - img))
+
+    def test_cbpdntv(self):
+        from sporco_tpu.models.cbpdntv import ConvBPDNScalarTV
+        rng = _seeded(13)
+        D = rng.standard_normal((6, 6, 8)).astype(np.float32)
+        S = rng.standard_normal((32, 32)).astype(np.float32)
+        b = ConvBPDNScalarTV(
+            D, S, 0.1, mu=0.05,
+            opt=ConvBPDNScalarTV.options(max_iter=30))
+        b.solve()
+        assert np.isfinite(float(b.getitstat().ObjFun[-1]))
+
+    def test_pdcsc(self):
+        from sporco_tpu.models.pdcsc import ConvProdDictBPDN
+        rng = _seeded(17)
+        D = rng.standard_normal((6, 6, 8)).astype(np.float32)
+        B = np.linalg.qr(rng.standard_normal((3, 3)))[0] \
+            .astype(np.float32)
+        S = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        b = ConvProdDictBPDN(
+            D, B, S, lmbda=0.1, dimK=0,
+            opt=ConvProdDictBPDN.options(max_iter=30))
+        b.solve()
+        assert np.isfinite(float(b.getitstat().ObjFun[-1]))
+
+    def test_online_cdl(self):
+        from sporco_tpu.models.dictlrn import OnlineConvBPDNDictLearn
+        rng = _seeded(19)
+        D0 = rng.standard_normal((6, 6, 8)).astype(np.float32)
+        o = OnlineConvBPDNDictLearn(D0, lmbda=0.1, eta_a=10.0,
+                                    eta_b=20.0)
+        for k in range(2):
+            o.solve(rng.standard_normal((32, 32)).astype(np.float32))
+        D1 = np.asarray(o.getdict())
+        nrm = np.sqrt((D1 ** 2).sum(axis=(0, 1)))
+        assert np.allclose(nrm, 1.0, atol=1e-3)
