@@ -369,16 +369,31 @@ class ConvBPDN(ADMMModel):
         packed polyphase layout inside one ``lax.while_loop``) when the
         configuration is eligible, else the generic jitted driver."""
         from sporco_tpu.ops import fused_csc
-        use_fused = self._fused is not False and fused_csc.eligible(
-            self.cfg, self.params, self.opts,
-            force=(self._fused is True))
-        if not use_fused:
+        solver = None
+        if self._fused is not False:
+            if fused_csc.eligible(self.cfg, self.params, self.opts,
+                                  force=(self._fused is True
+                                         and self.cri.C <= 1)):
+                solver = fused_csc.cbpdn_solve
+            elif fused_csc.cfold_eligible(self.cfg, self.params,
+                                          self.opts,
+                                          force=(self._fused is True)):
+                # multi-channel signal, single-channel dictionary: the
+                # channels are independent problems -- fold C into the
+                # batch axis and run the fused driver (exact)
+                solver = fused_csc.cbpdn_solve_cfold
+        if solver is None:
+            if self._fused is True:
+                raise ValueError(
+                    "fused=True requested, but this configuration is "
+                    "not supported by the fused driver (directly or "
+                    "via channel folding)")
             return super().solve()
         from sporco_tpu.models.common import device_sync
         self.k_start = self.state.k
         self.timer.start("solve")
-        self.state = fused_csc.cbpdn_solve(self.cfg, self.params,
-                                           self.opts, self.state)
+        self.state = solver(self.cfg, self.params, self.opts,
+                            self.state)
         device_sync(self.state)
         self.timer.stop("solve")
         return self.getmin()

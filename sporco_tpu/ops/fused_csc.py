@@ -356,6 +356,68 @@ def eligible(cfg, params, opts, force=False):
     return True
 
 
+# ---------------------------------------------------------------------------
+# Channel folding: with a single-channel dictionary (Cd == 1) and a
+# multi-channel signal (C > 1), the CSC problem decomposes into C
+# independent per-channel problems sharing D (sporco/cnvrep.py:60-84:
+# each channel gets its own coefficient maps).  Folding the C axis into
+# the batch axis K is EXACT -- the aggregate residual norms, AutoRho
+# decisions, and objective sums are identical -- and lets colour-image
+# problems run on the fused spatial-Woodbury driver instead of the
+# generic FFT path.
+
+def _cfold(cfg, params):
+    import dataclasses
+    cri = cfg.cri
+    K2 = cri.K * cri.C
+    cri2 = dataclasses.replace(cri, K=K2, C=1, Cx=1)
+    S = params["S"]
+    S2 = S.reshape((K2, 1, 1) + tuple(cri.Nv))
+    return dataclasses.replace(cfg, cri=cri2), {**params, "S": S2}
+
+
+def cfold_eligible(cfg, params, opts, force=False):
+    """Whether the C>1 (single-channel dictionary) configuration can
+    run on the fused driver by folding channels into the batch axis."""
+    cri = cfg.cri
+    if cri.C <= 1 or cri.Cd != 1 or cri.Cx != cri.C:
+        return False
+    if cfg.ams_nimp:
+        # the AMS mask addresses per-channel impulse maps; folding it
+        # needs a matching Wams reshape -- not implemented
+        return False
+    wl1 = jnp.asarray(params["wl1"])
+    if wl1.ndim not in (0, 5):
+        return False
+    if wl1.ndim == 5 and any(d != 1 for i, d in enumerate(wl1.shape)
+                             if i != 2):
+        # K- or C-dependent l1 weights would need their own fold;
+        # scalar and per-filter weights fold trivially
+        return False
+    cfg2, params2 = _cfold(cfg, params)
+    return eligible(cfg2, params2, opts, force=force)
+
+
+def cbpdn_solve_cfold(cfg, params, opts, state):
+    """Fused solve of a C-foldable configuration: fold channels into
+    K, run the fused driver, unfold the state."""
+    cri = cfg.cri
+    K2 = cri.K * cri.C
+    cfg2, params2 = _cfold(cfg, params)
+
+    def fold(a):
+        return a.reshape((K2, 1) + a.shape[2:])
+
+    def unfold(a):
+        return a.reshape((cri.K, cri.Cx) + a.shape[2:])
+
+    st2 = state._replace(X=fold(state.X), Y=fold(state.Y),
+                         U=fold(state.U))
+    out = cbpdn_solve(cfg2, params2, opts, st2)
+    return out._replace(X=unfold(out.X), Y=unfold(out.Y),
+                        U=unfold(out.U))
+
+
 def consensus_eligible(cri, dsz, dtype, masked):
     """Whether the sharded consensus-CDL loop may use the fused
     spatial x-step for its CSC stage (parallel/consensus.py); derives

@@ -17,6 +17,63 @@ def _problem(N=32, M=4, Nd=8, K=2, seed=12345):
     return D, S
 
 
+class TestChannelFolding:
+    """Colour signal + single-channel dictionary: folding C into the
+    batch axis is exact, so the fused path must reproduce the generic
+    driver's trajectory."""
+
+    def test_cfold_matches_generic(self):
+        rng = np.random.default_rng(7)
+        D = rng.standard_normal((8, 8, 4)).astype(np.float32)
+        D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+        S = rng.standard_normal((32, 32, 3)).astype(np.float32)  # C=3
+        opt = ConvBPDN.options(max_iter=25, rel_stop_tol=0.0)
+        a = ConvBPDN(D, S, 0.1, opt=opt, dimK=0, fused=False)
+        Xa = np.asarray(a.solve())
+        b = ConvBPDN(D, S, 0.1, opt=opt, dimK=0, fused=True)
+        assert not fused_csc.eligible(b.cfg, b.params, b.opts)
+        assert fused_csc.cfold_eligible(b.cfg, b.params, b.opts)
+        Xb = np.asarray(b.solve())
+        ia, ib = a.getitstat(), b.getitstat()
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert Xa.shape == Xb.shape
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        assert np.allclose(ia.ObjFun, ib.ObjFun, rtol=1e-4)
+        assert np.allclose(ia.Rho, ib.Rho, rtol=1e-4)
+        assert np.allclose(ia.PrimalRsdl, ib.PrimalRsdl, rtol=1e-3,
+                           atol=1e-6)
+        # reconstruction consistent in the user layout
+        Sa = np.asarray(a.reconstruct()).squeeze()
+        Sb = np.asarray(b.reconstruct()).squeeze()
+        assert np.abs(Sa - Sb).max() < 2e-4 * max(np.abs(Sa).max(),
+                                                  1e-6)
+
+    def test_cfold_multi_signal(self):
+        # K=2 colour signals: both axes fold
+        rng = np.random.default_rng(8)
+        D = rng.standard_normal((8, 8, 4)).astype(np.float32)
+        S = rng.standard_normal((32, 32, 3, 2)).astype(np.float32)
+        opt = ConvBPDN.options(max_iter=15, rel_stop_tol=0.0)
+        a = ConvBPDN(D, S, 0.1, opt=opt, fused=False)
+        Xa = np.asarray(a.solve())
+        b = ConvBPDN(D, S, 0.1, opt=opt, fused=True)
+        assert fused_csc.cfold_eligible(b.cfg, b.params, b.opts)
+        Xb = np.asarray(b.solve())
+        assert Xa.shape == Xb.shape
+        assert np.allclose(a.getitstat().ObjFun,
+                           b.getitstat().ObjFun, rtol=1e-4)
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+
+    def test_cfold_respects_exclusions(self):
+        # colour dictionary (Cd=3) must NOT fold
+        rng = np.random.default_rng(9)
+        Dc = rng.standard_normal((8, 8, 3, 4)).astype(np.float32)
+        S = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        b = ConvBPDN(Dc, S, 0.1, dimK=0, fused=False)
+        assert not fused_csc.cfold_eligible(b.cfg, b.params, b.opts)
+
+
 class TestFusedCBPDN:
 
     def test_matches_generic(self):
