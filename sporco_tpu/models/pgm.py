@@ -303,14 +303,23 @@ class ConvBPDN(PGMModel):
         packed-layout problem (:mod:`sporco_tpu.ops.fused_csc` -- zero
         FFTs per iteration) when the configuration is eligible."""
         from sporco_tpu.ops import fused_csc
-        if self._fused is False or not fused_csc.pgm_eligible(
-                self.cfg, self.params, self.opts):
+        solver = None
+        if self._fused is not False:
+            if fused_csc.pgm_eligible(self.cfg, self.params,
+                                      self.opts):
+                solver = fused_csc.pgm_cbpdn_solve
+            elif fused_csc.pgm_cfold_eligible(self.cfg, self.params,
+                                              self.opts):
+                # multi-channel signal + single-channel dictionary:
+                # fold C into the batch axis (exact; see fused_csc)
+                solver = fused_csc.pgm_cbpdn_solve_cfold
+        if solver is None:
             return super().solve()
         from sporco_tpu.models.common import device_sync
         self.k_start = self.state.k
         self.timer.start("solve")
-        self.state = fused_csc.pgm_cbpdn_solve(self.cfg, self.params,
-                                               self.opts, self.state)
+        self.state = solver(self.cfg, self.params, self.opts,
+                            self.state)
         device_sync(self.state)
         self.timer.stop("solve")
         return self.getmin()

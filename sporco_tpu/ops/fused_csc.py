@@ -986,6 +986,61 @@ def pgm_eligible(cfg, params, opts, force=False):
     return True
 
 
+def _pgm_cfold(cfg, params):
+    """Fold the channel axis into the batch axis for the PGM problem
+    (same exactness argument as :func:`_cfold`; the mask is broadcast
+    and folded alongside the signal)."""
+    import dataclasses
+    cri = cfg.cri
+    K2 = cri.K * cri.C
+    Nv = tuple(cri.Nv)
+    cri2 = dataclasses.replace(cri, K=K2, C=1, Cx=1)
+    S2 = params["S"].reshape((K2, 1, 1) + Nv)
+    W = params["W"]
+    if W.ndim >= 2 and (W.shape[0] > 1 or W.shape[1] > 1):
+        W = jnp.broadcast_to(
+            W, (cri.K, cri.C, 1) + Nv).reshape((K2, 1, 1) + Nv)
+    return (dataclasses.replace(cfg, cri=cri2),
+            {**params, "S": S2, "W": W})
+
+
+def pgm_cfold_eligible(cfg, params, opts, force=False):
+    """Whether a C>1 (single-channel dictionary) PGM configuration can
+    run the fused packed-layout problem by channel folding."""
+    cri = cfg.cri
+    if cri.C <= 1 or cri.Cd != 1 or cri.Cx != cri.C:
+        return False
+    wl1 = jnp.asarray(params["wl1"])
+    if wl1.ndim not in (0, 5):
+        return False
+    if wl1.ndim == 5 and any(d != 1 for i, d in enumerate(wl1.shape)
+                             if i != 2):
+        return False
+    cfg2, params2 = _pgm_cfold(cfg, params)
+    return pgm_eligible(cfg2, params2, opts, force=force)
+
+
+def pgm_cbpdn_solve_cfold(cfg, params, opts, state):
+    """Fused FISTA solve of a C-foldable configuration."""
+    cri = cfg.cri
+    K2 = cri.K * cri.C
+    cfg2, params2 = _pgm_cfold(cfg, params)
+
+    def fold(a):
+        return a.reshape((K2, 1) + a.shape[2:])
+
+    def unfold(a):
+        return a.reshape((cri.K, cri.Cx) + a.shape[2:])
+
+    st2 = state._replace(X=fold(state.X), Y=fold(state.Y),
+                         Xprv=fold(state.Xprv),
+                         Gprv=fold(state.Gprv), Zrb=fold(state.Zrb))
+    out = pgm_cbpdn_solve(cfg2, params2, opts, st2)
+    return out._replace(X=unfold(out.X), Y=unfold(out.Y),
+                        Xprv=unfold(out.Xprv),
+                        Gprv=unfold(out.Gprv), Zrb=unfold(out.Zrb))
+
+
 @partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def _pgm_fused_kernel_run(cfg, opts, params, state, prec_mode,
                           interpret=False):

@@ -73,6 +73,48 @@ class TestChannelFolding:
         b = ConvBPDN(Dc, S, 0.1, dimK=0, fused=False)
         assert not fused_csc.cfold_eligible(b.cfg, b.params, b.opts)
 
+    def test_pgm_cfold_matches_generic(self):
+        from sporco_tpu.models import pgm as mpgm
+        rng = np.random.default_rng(11)
+        D = rng.standard_normal((8, 8, 4)).astype(np.float32)
+        D /= np.sqrt((D ** 2).sum(axis=(0, 1), keepdims=True))
+        S = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        opt = mpgm.ConvBPDN.options(max_iter=20, rel_stop_tol=0.0,
+                                    L=50.0)
+        a = mpgm.ConvBPDN(D, S, 0.1, opt=opt, dimK=0, fused=False)
+        Xa = np.asarray(a.solve())
+        b = mpgm.ConvBPDN(D, S, 0.1, opt=opt, dimK=0, fused=True)
+        assert not fused_csc.pgm_eligible(b.cfg, b.params, b.opts)
+        assert fused_csc.pgm_cfold_eligible(b.cfg, b.params, b.opts)
+        Xb = np.asarray(b.solve())
+        assert Xa.shape == Xb.shape
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        assert np.allclose(a.getitstat().ObjFun,
+                           b.getitstat().ObjFun, rtol=1e-4)
+        assert np.allclose(a.getitstat().Rsdl, b.getitstat().Rsdl,
+                           rtol=1e-3, atol=1e-6)
+
+    def test_pgm_cfold_masked(self):
+        from sporco_tpu.models import pgm as mpgm
+        rng = np.random.default_rng(13)
+        D = rng.standard_normal((8, 8, 4)).astype(np.float32)
+        S = rng.standard_normal((32, 32, 3)).astype(np.float32)
+        W = (rng.random((32, 32, 3)) > 0.3).astype(np.float32)
+        opt = mpgm.ConvBPDN.options(max_iter=15, rel_stop_tol=0.0,
+                                    L=50.0)
+        a = mpgm.ConvBPDNMask(D, S, 0.1, W=W, opt=opt, dimK=0,
+                              fused=False)
+        Xa = np.asarray(a.solve())
+        b = mpgm.ConvBPDNMask(D, S, 0.1, W=W, opt=opt, dimK=0,
+                              fused=True)
+        assert fused_csc.pgm_cfold_eligible(b.cfg, b.params, b.opts)
+        Xb = np.asarray(b.solve())
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        assert np.allclose(a.getitstat().ObjFun,
+                           b.getitstat().ObjFun, rtol=1e-4)
+
 
 class TestFusedCBPDN:
 
