@@ -249,6 +249,155 @@ def _conv_adj_mm(Gp, Wa, J0, J1, prec):
 
 
 # ---------------------------------------------------------------------------
+# Multi-channel (colour) dictionary variants: D has Cd > 1 channels and
+# the coefficient maps are SHARED across channels (sporco/cnvrep.py:
+# 60-84, Cx == 1), so the state arrays keep the single-channel size and
+# only the forward/adjoint products and the per-bin solve grow by Cd.
+# The per-pixel DFT-bin system (rho I + D^H D) x = b is solved by the
+# rank-Cd Woodbury identity: x = scale yu + D^H G with
+# (rho I_C + D D^H) G = Sf - rfft(D yu) -- a Cd x Cd Hermitian solve
+# per frequency bin (closed-form cofactors for Cd <= 3), the
+# multi-channel analogue of solvemdbi_ism (sporco/linalg.py:370).
+
+def _fwd_kernel_mc(D, nd0, nd1, ps):
+    """Forward kernel for a (C, M, nd0, nd1) dictionary: input channels
+    (w0, w1, m), output channels (c, a0, a1)."""
+    C, M = D.shape[0], D.shape[1]
+    S0, J0 = _sel_fwd(nd0, ps)
+    S1, J1 = _sel_fwd(nd1, ps)
+    ker = jnp.einsum("cmuv,akwu,blzv->klwzmcab", D,
+                     jnp.asarray(S0), jnp.asarray(S1),
+                     precision=lax.Precision.HIGHEST)
+    ker = ker.reshape(J0 + 1, J1 + 1, ps * ps * M, C * ps * ps)
+    return ker, J0, J1
+
+
+def _adj_kernel_mc(D, nd0, nd1, ps):
+    """Adjoint kernel: input channels (c, w0, w1), output (a0, a1, m);
+    sums the per-channel correlations over c."""
+    C, M = D.shape[0], D.shape[1]
+    S0, J0 = _sel_adj(nd0, ps)
+    S1, J1 = _sel_adj(nd1, ps)
+    ker = jnp.einsum("cmuv,akwu,blzv->klcwzabm", D,
+                     jnp.asarray(S0), jnp.asarray(S1),
+                     precision=lax.Precision.HIGHEST)
+    ker = ker.reshape(J0 + 1, J1 + 1, C * ps * ps, ps * ps * M)
+    return ker, J0, J1
+
+
+def xstep_kernels_mc(Dsm, nd0, nd1, ps=PS):
+    """Packed matmul weights for the multi-channel x-step.  ``Dsm`` is
+    ``(C, M, nd0, nd1)``; returns ``(Wf, Wa, (jf0, jf1, ja0, ja1))``
+    with ``Wf: (ps^2 M, (Jf0+1)(Jf1+1) C ps^2)`` and
+    ``Wa: ((Ja0+1)(Ja1+1) C ps^2, ps^2 M)``."""
+    C, M = Dsm.shape[0], Dsm.shape[1]
+    kf, jf0, jf1 = _fwd_kernel_mc(Dsm, nd0, nd1, ps)
+    ka, ja0, ja1 = _adj_kernel_mc(Dsm, nd0, nd1, ps)
+    Cs = ps * ps * M
+    Wf = jnp.transpose(kf, (2, 0, 1, 3)).reshape(
+        Cs, (jf0 + 1) * (jf1 + 1) * C * ps * ps)
+    Wa = ka.reshape((ja0 + 1) * (ja1 + 1) * C * ps * ps, Cs)
+    return Wf, Wa, (jf0, jf1, ja0, ja1)
+
+
+def _fwd_combine_mc(o, J0, J1, C, ps):
+    """Channel-aware epilogue: ``o`` is (K, p0, p1, T*C*ps^2); returns
+    the C-channel image (K, C, n0, n1)."""
+    K, p0, p1, _ = o.shape
+    T = (J0 + 1) * (J1 + 1)
+    o = o.reshape(K, p0, p1, T, C * ps * ps)
+    out = 0.0
+    for kx in range(J0 + 1):
+        for ky in range(J1 + 1):
+            t = kx * (J1 + 1) + ky
+            out = out + jnp.roll(o[:, :, :, t], (J0 - kx, J1 - ky),
+                                 axis=(1, 2))
+    out = out.reshape(K, p0, p1, C, ps * ps).transpose(0, 3, 1, 2, 4)
+    return poly_unpack(out, ps)                    # (K, C, n0, n1)
+
+
+def _adj_rolls_mc(G, J0, J1, ps=PS):
+    """Channel-aware prologue: pack each channel of ``G`` (K, C, n0,
+    n1), concatenate per-tap rolls with channel order (t, c, w0, w1)
+    matching ``xstep_kernels_mc``'s ``Wa``."""
+    K, C = G.shape[0], G.shape[1]
+    Gp = poly_pack(G, ps)                          # (K, C, p0, p1, ps^2)
+    Gp = Gp.transpose(0, 2, 3, 1, 4).reshape(
+        K, Gp.shape[2], Gp.shape[3], C * ps * ps)
+    gs = []
+    for kx in range(J0 + 1):
+        for ky in range(J1 + 1):
+            gs.append(jnp.roll(Gp, (-kx, -ky), axis=(1, 2)))
+    return jnp.concatenate(gs, axis=-1)
+
+
+def _herm_solve(A, beta, B):
+    """Solve ``(A + beta I) g = B`` per frequency bin for Hermitian
+    ``A`` of size C x C, C in (1, 2, 3), by closed-form cofactors
+    (exact FLOP count; no batched LU).  ``A``: (C, C, n0, k1) complex,
+    ``B``: (K, C, n0, k1) complex, ``beta`` scalar (dynamic)."""
+    C = A.shape[0]
+    if C == 1:
+        return B / (A[0, 0] + beta)
+    if C == 2:
+        a = A[0, 0] + beta
+        b = A[0, 1]
+        c = A[1, 0]
+        d = A[1, 1] + beta
+        det = a * d - b * c
+        g0 = (d * B[:, 0] - b * B[:, 1]) / det
+        g1 = (a * B[:, 1] - c * B[:, 0]) / det
+        return jnp.stack([g0, g1], axis=1)
+    if C == 3:
+        a = A[0, 0] + beta
+        b = A[0, 1]
+        c = A[0, 2]
+        d = A[1, 0]
+        e = A[1, 1] + beta
+        f = A[1, 2]
+        g = A[2, 0]
+        h = A[2, 1]
+        i = A[2, 2] + beta
+        co00 = e * i - f * h
+        co01 = c * h - b * i
+        co02 = b * f - c * e
+        co10 = f * g - d * i
+        co11 = a * i - c * g
+        co12 = c * d - a * f
+        co20 = d * h - e * g
+        co21 = b * g - a * h
+        co22 = a * e - b * d
+        det = a * co00 + b * co10 + c * co20
+        B0, B1, B2 = B[:, 0], B[:, 1], B[:, 2]
+        g0 = (co00 * B0 + co01 * B1 + co02 * B2) / det
+        g1 = (co10 * B0 + co11 * B1 + co12 * B2) / det
+        g2 = (co20 * B0 + co21 * B1 + co22 * B2) / det
+        return jnp.stack([g0, g1, g2], axis=1)
+    raise ValueError(f"unsupported channel count {C}")
+
+
+def spatial_xstep_mc(Pyu, Wf, Wa, js, DDHf, Sf, beta, scale, Nv, C,
+                     prec=lax.Precision.HIGH, prec_fwd=None):
+    """Multi-channel spatial-Woodbury x-step.  ``DDHf`` is the per-bin
+    Hermitian Gram ``(C, C, n0, k1)`` complex; ``Sf`` the C-channel
+    signal spectrum ``(K, C, n0, k1)``.  Returns ``(PX, rf, Gf)`` (the
+    spectral intermediates make the data-fidelity term free:
+    ``DXf = scale rf + DDHf Gf``)."""
+    jf0, jf1, ja0, ja1 = js
+    axes = (-2, -1)
+    o = jnp.einsum("kpqc,cd->kpqd", Pyu, Wf,
+                   precision=prec if prec_fwd is None else prec_fwd)
+    R = _fwd_combine_mc(o, jf0, jf1, C, PS)        # (K, C, n0, n1)
+    rf = sf.rfftn(R, axes=axes)
+    Gf = _herm_solve(DDHf, beta, Sf - scale * rf)
+    G = sf.irfftn(Gf, s=Nv, axes=axes)
+    G2 = _adj_rolls_mc(G, ja0, ja1, PS)
+    PX = scale * Pyu + jnp.einsum("kpqc,cd->kpqd", G2, Wa,
+                                  precision=prec)
+    return PX, rf, Gf
+
+
+# ---------------------------------------------------------------------------
 # Shared x-step building blocks (used by this driver, the fused PGM
 # problem below, and the sharded consensus-CDL loop in
 # parallel/consensus.py -- one implementation, no drift)
@@ -302,13 +451,18 @@ def spatial_xstep(Pyu, Wf, Wa, js, DHD, sfr, sfi, beta, scale, Nv,
 # ---------------------------------------------------------------------------
 # Eligibility
 
-def _layout_ok(cri, nd0, nd1, dtype, force=False):
+def _layout_ok(cri, nd0, nd1, dtype, force=False, allow_mc=False):
     """Structural layout constraints shared by every fused entry point:
-    2D, single-channel, PS-aligned even spatial dims, f32.  The
-    small-support heuristic (``MAX_SUPPORT``: beyond ~24^2 supports the
-    O(N^2 M nd^2) spatial form loses to the FFT path) is a performance
-    choice only and can be bypassed with ``force``."""
-    if not (cri.dimN == 2 and cri.Cd == 1 and cri.C == 1):
+    2D, single-channel (or, with ``allow_mc``, a C-channel dictionary
+    with shared coefficient maps, C <= 3 -- the rank-C Woodbury path),
+    PS-aligned even spatial dims, f32.  The small-support heuristic
+    (``MAX_SUPPORT``: beyond ~24^2 supports the O(N^2 M nd^2) spatial
+    form loses to the FFT path) is a performance choice only and can be
+    bypassed with ``force``."""
+    single = cri.Cd == 1 and cri.C == 1
+    mc = (allow_mc and cri.Cd == cri.C and cri.Cd in (2, 3)
+          and cri.Cx == 1)
+    if not (cri.dimN == 2 and (single or mc)):
         return False
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
@@ -332,11 +486,16 @@ def eligible(cfg, params, opts, force=False):
     unsupported configuration raises instead of silently falling back.
     """
     cri = cfg.cri
+    # colour dictionaries (rank-C Woodbury): l1/elastic, no AMS
+    mc_ok = (cri.Cd > 1 and cfg.variant in ("l1", "elastic")
+             and not cfg.ams_nimp)
     structural = (cfg.real and cfg.variant in ("l1", "elastic", "gradreg")
                   and not cfg.no_bndry and not cfg.lin_check
                   and cfg.obj_from_x and cfg.ams_nimp in (0, 1)
+                  and (cri.Cd == 1 or mc_ok)
                   and _layout_ok(cri, cri.dsz[0], cri.dsz[1],
-                                 opts.dtype, force=force))
+                                 opts.dtype, force=force,
+                                 allow_mc=mc_ok))
     if structural and cfg.variant == "gradreg":
         # per-bin solve supports scalar or per-filter gradient weights
         # only (the reference's GradWeight w_m, sporco/admm/cbpdn.py:
@@ -472,27 +631,39 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         sel[:, -cfg.ams_nimp:] = True
         imp_sel = jnp.asarray(sel.reshape(-1))
 
-    D = params["D"].reshape(M, nd0, nd1)
-    S = params["S"].reshape(K, n0, n1)
-
-    # loop-invariant pieces
-    Df = sf.rfftn(D, s=cri.Nv, axes=axes)
-    DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=0)        # (n0, k1)
-    Sf = sf.rfftn(S, axes=axes)                            # (K, n0, k1)
-    sfr, sfi = jnp.real(Sf), jnp.imag(Sf)
-    if cfg.variant == "gradreg":
-        # per-bin diagonal (sporco/admm/cbpdn.py:1173-1201): the
-        # identity's I-part becomes bin-dependent, so the x-step runs
-        # per-bin on the M-channel half-spectrum (see body)
-        from sporco_tpu.utils.signal import gradient_filters
-        _, GHGf = gradient_filters(2, cri.Nv, dtype=S.dtype)
-        wg = params["wgrd"]
-        GHGfW = (wg * GHGf if jnp.ndim(wg) == 0
-                 else wg.reshape(-1, 1, 1) * GHGf)
-        Wf = Wa = None
-        js = (0, 0, 0, 0)
+    Cd = cri.Cd
+    if Cd > 1:
+        # multi-channel dictionary (rank-Cd Woodbury; eligibility
+        # restricts to l1/elastic, no AMS)
+        D = params["D"].reshape(Cd, M, nd0, nd1)
+        S = params["S"].reshape(K, Cd, n0, n1)
+        Df = sf.rfftn(D, s=cri.Nv, axes=axes)      # (Cd, M, n0, k1)
+        DDHf = jnp.einsum("cmxy,dmxy->cdxy", Df, jnp.conj(Df))
+        Sfc = sf.rfftn(S, axes=axes)               # (K, Cd, n0, k1)
+        Wf, Wa, js = xstep_kernels_mc(D, nd0, nd1, PS)
+        DHD = sfr = sfi = None
     else:
-        Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
+        D = params["D"].reshape(M, nd0, nd1)
+        S = params["S"].reshape(K, n0, n1)
+
+        # loop-invariant pieces
+        Df = sf.rfftn(D, s=cri.Nv, axes=axes)
+        DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=0)    # (n0, k1)
+        Sf = sf.rfftn(S, axes=axes)                        # (K, n0, k1)
+        sfr, sfi = jnp.real(Sf), jnp.imag(Sf)
+        if cfg.variant == "gradreg":
+            # per-bin diagonal (sporco/admm/cbpdn.py:1173-1201): the
+            # identity's I-part becomes bin-dependent, so the x-step
+            # runs per-bin on the M-channel half-spectrum (see body)
+            from sporco_tpu.utils.signal import gradient_filters
+            _, GHGf = gradient_filters(2, cri.Nv, dtype=S.dtype)
+            wg = params["wgrd"]
+            GHGfW = (wg * GHGf if jnp.ndim(wg) == 0
+                     else wg.reshape(-1, 1, 1) * GHGf)
+            Wf = Wa = None
+            js = (0, 0, 0, 0)
+        else:
+            Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
 
     # Kernel selection.  ``kern_mode`` is the static tuple
     # (ptail.enabled, ptail.interpret, pkiter.enabled,
@@ -511,7 +682,7 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
     from sporco_tpu.ops import pallas_csc_iter as pki
     pos = K * (n0 // PS) * (n1 // PS)
     C = PS * PS * M
-    Ta = (js[2] + 1) * (js[3] + 1) * PS * PS
+    Ta = (js[2] + 1) * (js[3] + 1) * Cd * PS * PS
     use_pk = (kern_mode[2]
               and (kern_mode[3] or jax.default_backend()
                    in ("tpu", "axon"))
@@ -592,9 +763,14 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
             else:
                 beta = rho + mu
                 scale = rho / beta
-            PX, rfr, rfi, gr, gi = spatial_xstep(
-                Pyu, Wf, Wa, js, DHD, sfr, sfi, beta, scale, cri.Nv,
-                prec, prec_fwd)
+            if Cd > 1:
+                PX, rf_mc, Gf_mc = spatial_xstep_mc(
+                    Pyu, Wf, Wa, js, DDHf, Sfc, beta, scale, cri.Nv,
+                    Cd, prec, prec_fwd)
+            else:
+                PX, rfr, rfi, gr, gi = spatial_xstep(
+                    Pyu, Wf, Wa, js, DHD, sfr, sfi, beta, scale,
+                    cri.Nv, prec, prec_fwd)
 
         # ---- relax, prox y-step, dual update, residual reductions
         thr = (lmbda / rho) * wl1p
@@ -655,6 +831,19 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
                 rgr = 0.5 * _rfl2norm2_sq(sqg, n1)
                 objv = (dfd + lmbda * rl1 + mu * rgr, dfd, rl1, rgr,
                         jnp.nan)
+            elif Cd > 1:
+                # DXf = scale rf + DDHf Gf (free spectral identity)
+                DXf = scale * rf_mc + jnp.einsum("cdxy,kdxy->kcxy",
+                                                 DDHf, Gf_mc)
+                er = DXf - Sfc
+                dfd = 0.5 * _rfl2norm2_sq((er * jnp.conj(er)).real,
+                                          n1)
+                if mu is None:
+                    objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
+                else:
+                    rl2 = 0.5 * jnp.sum(PX ** 2)
+                    objv = (dfd + lmbda * rl1 + mu * rl2, dfd, rl1,
+                            rl2, jnp.nan)
             else:
                 er = rfr + DHD[None] * gr - sfr
                 ei = rfi + DHD[None] * gi - sfi
@@ -726,14 +915,21 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         R1p, R2p = R1
         o2 = R1p + (1.0 - us) * R2p
         o4 = o2.reshape(K, n0 // PS, n1 // PS, -1)
-        R = poly_unpack(_fwd_combine(o4, jf0, jf1, PS))
-        rf = sf.rfftn(R, axes=axes)
-        rfr, rfi = scale * jnp.real(rf), scale * jnp.imag(rf)
-        den = 1.0 / (DHD[None] + beta)
-        gr = (sfr - rfr) * den
-        gi = (sfi - rfi) * den
-        G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
-        G2 = _adj_rolls(poly_pack(G), ja0, ja1)
+        if Cd > 1:
+            Rm = _fwd_combine_mc(o4, jf0, jf1, Cd, PS)  # (K,Cd,n0,n1)
+            rf_mc = sf.rfftn(Rm, axes=axes)
+            Gf_mc = _herm_solve(DDHf, beta, Sfc - scale * rf_mc)
+            G = sf.irfftn(Gf_mc, s=cri.Nv, axes=axes)
+            G2 = _adj_rolls_mc(G, ja0, ja1, PS)
+        else:
+            R = poly_unpack(_fwd_combine(o4, jf0, jf1, PS))
+            rf = sf.rfftn(R, axes=axes)
+            rfr, rfi = scale * jnp.real(rf), scale * jnp.imag(rf)
+            den = 1.0 / (DHD[None] + beta)
+            gr = (sfr - rfr) * den
+            gi = (sfi - rfi) * den
+            G = sf.irfftn(gr + 1j * gi, s=cri.Nv, axes=axes)
+            G2 = _adj_rolls(poly_pack(G), ja0, ja1)
         thr = (lmbda / rho) * wl1p
         # emit_px=False: X is only consumed through the kernel's fused
         # reduction sums inside the loop; skipping its 67 MB/iter store
@@ -762,9 +958,16 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
             objv = (jnp.nan,) * nobj
         else:
             rl1 = sums[5]
-            er = rfr + DHD[None] * gr - sfr
-            ei = rfi + DHD[None] * gi - sfi
-            dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
+            if Cd > 1:
+                DXf = scale * rf_mc + jnp.einsum("cdxy,kdxy->kcxy",
+                                                 DDHf, Gf_mc)
+                erc = DXf - Sfc
+                dfd = 0.5 * _rfl2norm2_sq((erc * jnp.conj(erc)).real,
+                                          n1)
+            else:
+                er = rfr + DHD[None] * gr - sfr
+                ei = rfi + DHD[None] * gi - sfi
+                dfd = 0.5 * _rfl2norm2_planar(er, ei, n1)
             if mu is None:
                 objv = (dfd + lmbda * rl1, dfd, rl1, jnp.nan)
             else:
@@ -828,9 +1031,14 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         else:
             beta_f = stf.rho + mu
             scale_f = stf.rho / beta_f
-        PXf, _, _, _, _ = spatial_xstep(
-            stf.Y - usf * stf.U, Wf, Wa, js, DHD, sfr, sfi, beta_f,
-            scale_f, cri.Nv, prec, prec_fwd)
+        if Cd > 1:
+            PXf, _, _ = spatial_xstep_mc(
+                stf.Y - usf * stf.U, Wf, Wa, js, DDHf, Sfc, beta_f,
+                scale_f, cri.Nv, Cd, prec, prec_fwd)
+        else:
+            PXf, _, _, _, _ = spatial_xstep(
+                stf.Y - usf * stf.U, Wf, Wa, js, DHD, sfr, sfi,
+                beta_f, scale_f, cri.Nv, prec, prec_fwd)
         stf = stf._replace(X=PXf)
     else:
         stf, usf = lax.while_loop(lambda c: cond(c[0]), body_unrolled,

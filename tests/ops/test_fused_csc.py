@@ -66,12 +66,71 @@ class TestChannelFolding:
         assert np.abs(Xa - Xb).max() < 2e-4 * scale
 
     def test_cfold_respects_exclusions(self):
-        # colour dictionary (Cd=3) must NOT fold
+        # colour dictionary (Cd=3) must NOT fold (it runs the direct
+        # rank-C Woodbury path instead, TestMultiChannelDict)
         rng = np.random.default_rng(9)
         Dc = rng.standard_normal((8, 8, 3, 4)).astype(np.float32)
         S = rng.standard_normal((32, 32, 3)).astype(np.float32)
         b = ConvBPDN(Dc, S, 0.1, dimK=0, fused=False)
         assert not fused_csc.cfold_eligible(b.cfg, b.params, b.opts)
+        assert fused_csc.eligible(b.cfg, b.params, b.opts)
+
+
+class TestMultiChannelDict:
+    """Colour-dictionary CSC (Cd == C > 1, shared coefficient maps)
+    through the rank-C per-bin Woodbury fused path: trajectories must
+    match the generic FFT-domain driver."""
+
+    def _run(self, C=3, K=0, variant=None, mu=None, kernel=False,
+             iters=25):
+        from sporco_tpu.models.cbpdn import ConvElasticNet
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        rng = np.random.default_rng(5)
+        Dc = rng.standard_normal((8, 8, C, 4)).astype(np.float32)
+        Dc /= np.sqrt((Dc ** 2).sum(axis=(0, 1, 2), keepdims=True))
+        sshape = (32, 32, C) if K == 0 else (32, 32, C, K)
+        S = rng.standard_normal(sshape).astype(np.float32)
+        cls = ConvElasticNet if variant == "elastic" else ConvBPDN
+        kw = dict(opt=cls.options(max_iter=iters, rel_stop_tol=0.0))
+        if K == 0:
+            kw["dimK"] = 0
+        if mu is not None:
+            kw["mu"] = mu
+        a = cls(Dc, S, 0.1, fused=False, **kw)
+        Xa = np.asarray(a.solve())
+        prev_int = pki.interpret
+        if kernel:
+            pki.interpret = True
+        try:
+            b = cls(Dc, S, 0.1, fused=True, **kw)
+            assert fused_csc.eligible(b.cfg, b.params, b.opts)
+            Xb = np.asarray(b.solve())
+        finally:
+            pki.interpret = prev_int
+        ia, ib = a.getitstat(), b.getitstat()
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert Xa.shape == Xb.shape
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        assert np.allclose(ia.ObjFun, ib.ObjFun, rtol=1e-4)
+        assert np.allclose(ia.Rho, ib.Rho, rtol=1e-4)
+        assert np.allclose(ia.PrimalRsdl, ib.PrimalRsdl, rtol=1e-3,
+                           atol=1e-6)
+
+    def test_c3_matches_generic(self):
+        self._run(C=3)
+
+    def test_c2_matches_generic(self):
+        self._run(C=2)
+
+    def test_c3_multi_signal(self):
+        self._run(C=3, K=2, iters=15)
+
+    def test_c3_elastic(self):
+        self._run(C=3, variant="elastic", mu=0.05, iters=15)
+
+    def test_c3_kernel_path(self):
+        # through the one-pass Pallas iteration kernel (interpret)
+        self._run(C=3, kernel=True, iters=15)
 
     def test_pgm_cfold_matches_generic(self):
         from sporco_tpu.models import pgm as mpgm
