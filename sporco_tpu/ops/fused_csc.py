@@ -300,9 +300,11 @@ def xstep_kernels_mc(Dsm, nd0, nd1, ps=PS):
     return Wf, Wa, (jf0, jf1, ja0, ja1)
 
 
-def _fwd_combine_mc(o, J0, J1, C, ps):
-    """Channel-aware epilogue: ``o`` is (K, p0, p1, T*C*ps^2); returns
-    the C-channel image (K, C, n0, n1)."""
+def _fwd_combine_ch(o, J0, J1, C, ps):
+    """Channel-aware epilogue in the channel-packed layout: ``o`` is
+    (K, p0, p1, T*C*ps^2); returns (K, p0, p1, C*ps^2) with channel
+    order (c, w0, w1) -- the layout ``_adj_rolls`` /
+    ``xstep_kernels_mc``'s ``Wa`` consume directly."""
     K, p0, p1, _ = o.shape
     T = (J0 + 1) * (J1 + 1)
     o = o.reshape(K, p0, p1, T, C * ps * ps)
@@ -312,6 +314,22 @@ def _fwd_combine_mc(o, J0, J1, C, ps):
             t = kx * (J1 + 1) + ky
             out = out + jnp.roll(o[:, :, :, t], (J0 - kx, J1 - ky),
                                  axis=(1, 2))
+    return out
+
+
+def _pack_ch(A, ps=PS):
+    """(K, C, n0, n1) -> channel-packed (K, p0, p1, C*ps^2)."""
+    K, C = A.shape[0], A.shape[1]
+    P = poly_pack(A, ps)                           # (K, C, p0, p1, ps^2)
+    return P.transpose(0, 2, 3, 1, 4).reshape(
+        K, P.shape[2], P.shape[3], C * ps * ps)
+
+
+def _fwd_combine_mc(o, J0, J1, C, ps):
+    """Channel-aware epilogue: ``o`` is (K, p0, p1, T*C*ps^2); returns
+    the C-channel image (K, C, n0, n1)."""
+    K, p0, p1, _ = o.shape
+    out = _fwd_combine_ch(o, J0, J1, C, ps)
     out = out.reshape(K, p0, p1, C, ps * ps).transpose(0, 3, 1, 2, 4)
     return poly_unpack(out, ps)                    # (K, C, n0, n1)
 
@@ -1093,7 +1111,26 @@ def _pgm_aux(cfg, params):
     cri = cfg.cri
     n0, n1 = cri.Nv
     M = cri.M
+    Cd = cri.Cd
     nd0, nd1 = cri.dsz[0], cri.dsz[1]
+    if Cd > 1:
+        # colour dictionary: channel-aware weights and channel-packed
+        # signal/mask (the residual lives in (K, p0, p1, Cd*ps^2))
+        D = params["D"].reshape(Cd, M, nd0, nd1)
+        Wf, Wa, js = xstep_kernels_mc(D, nd0, nd1, PS)
+        jf0, jf1, ja0, ja1 = js
+        aux = {
+            "Wf": Wf, "Wa": Wa, "j": js, "Cd": Cd,
+            "Sp": _pack_ch(params["S"].reshape(cri.K, Cd, n0, n1)),
+            "wl1p": _packed_l1_weight(params["wl1"], cri),
+        }
+        if cfg.masked:
+            W = params["W"]
+            Wm = jnp.broadcast_to(
+                W.reshape(W.shape[0], W.shape[1], *W.shape[-2:]),
+                (cri.K, Cd, n0, n1))
+            aux["Wp2"] = _pack_ch(Wm) ** 2
+        return aux
     D = params["D"].reshape(M, nd0, nd1)
     kf, jf0, jf1 = _fwd_kernel(D, nd0, nd1, PS)
     ka, ja0, ja1 = _adj_kernel(D, nd0, nd1, PS)
@@ -1103,6 +1140,7 @@ def _pgm_aux(cfg, params):
         "Wf": jnp.transpose(kf, (2, 0, 1, 3)).reshape(C, Tf * PS * PS),
         "Wa": ka.reshape((ja0 + 1) * (ja1 + 1) * PS * PS, C),
         "j": (jf0, jf1, ja0, ja1),
+        "Cd": 1,
         "Sp": poly_pack(params["S"].reshape(cri.K, n0, n1)),
         "wl1p": _packed_l1_weight(params["wl1"], cri),
     }
@@ -1127,8 +1165,9 @@ def _packed_l1_weight(wl1, cri):
 
 def _pgm_resid(cfg, aux, Yp):
     jf0, jf1, _, _ = aux["j"]
-    return _conv_fwd_mm(Yp, aux["Wf"], jf0, jf1, PS,
-                        lax.Precision.HIGH) - aux["Sp"]
+    o = jnp.einsum("kpqc,cd->kpqd", Yp, aux["Wf"],
+                   precision=lax.Precision.HIGH)
+    return _fwd_combine_ch(o, jf0, jf1, aux["Cd"], PS) - aux["Sp"]
 
 
 def _pgm_grad(cfg, aux, params, Yp):
@@ -1166,7 +1205,9 @@ def _pgm_obfn(cfg, aux, params, Xp):
 
 def _pgm_hess(cfg, aux, params, Vp):
     jf0, jf1, ja0, ja1 = aux["j"]
-    Rp = _conv_fwd_mm(Vp, aux["Wf"], jf0, jf1, PS, lax.Precision.HIGH)
+    o = jnp.einsum("kpqc,cd->kpqd", Vp, aux["Wf"],
+                   precision=lax.Precision.HIGH)
+    Rp = _fwd_combine_ch(o, jf0, jf1, aux["Cd"], PS)
     return _conv_adj_mm(Rp, aux["Wa"], ja0, ja1, lax.Precision.HIGH)
 
 
@@ -1178,10 +1219,12 @@ def _pgm_xinit(cfg, params):
 
 def pgm_eligible(cfg, params, opts, force=False):
     """Whether the fused packed-layout PGM problem handles this
-    (possibly masked) ConvBPDN configuration."""
+    (possibly masked) ConvBPDN configuration (single-channel, or a
+    colour dictionary with shared coefficient maps, C <= 3)."""
     cri = cfg.cri
-    if not (cri.dimN == 2 and cri.Cd == 1 and cri.C == 1
-            and not cfg.no_bndry):
+    single = cri.Cd == 1 and cri.C == 1
+    mc = (cri.Cd == cri.C and cri.Cd in (2, 3) and cri.Cx == 1)
+    if not (cri.dimN == 2 and (single or mc) and not cfg.no_bndry):
         return False
     if jnp.dtype(opts.dtype) != jnp.dtype(jnp.float32):
         return False
@@ -1274,19 +1317,32 @@ def _pgm_fused_kernel_run(cfg, opts, params, state, prec_mode,
     # (same accuracy reasoning as the ADMM kernel above)
     fwd_passes = 1 if prec_mode == "mixed" else 4
 
-    D = params["D"].reshape(M, nd0, nd1)
-    Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
+    Cd = cri.Cd
+    if Cd > 1:
+        D = params["D"].reshape(Cd, M, nd0, nd1)
+        Wf, Wa, js = xstep_kernels_mc(D, nd0, nd1, PS)
+        Sp = _pack_ch(params["S"].reshape(K, Cd, n0, n1))
+    else:
+        D = params["D"].reshape(M, nd0, nd1)
+        Wf, Wa, js = xstep_kernels(D, nd0, nd1, PS)
+        Sp = poly_pack(params["S"].reshape(K, n0, n1))
     jf0, jf1, ja0, ja1 = js
-    Ta = (ja0 + 1) * (ja1 + 1) * PS * PS
+    Ta = (ja0 + 1) * (ja1 + 1) * Cd * PS * PS
     Wa_sp = pki.split_bf16_3(Wa)
     Wf_sp = pki.split_bf16_3(Wf)
-    Sp = poly_pack(params["S"].reshape(K, n0, n1))
     wl1p = _packed_l1_weight(params["wl1"], cri)
     if cfg.masked:
-        Wm = jnp.broadcast_to(params["W"].reshape(
-            params["W"].shape[0], *params["W"].shape[-2:]),
-            (K, n0, n1))
-        Wp2 = poly_pack(Wm) ** 2
+        if Cd > 1:
+            W = params["W"]
+            Wm = jnp.broadcast_to(
+                W.reshape(W.shape[0], W.shape[1], *W.shape[-2:]),
+                (K, Cd, n0, n1))
+            Wp2 = _pack_ch(Wm) ** 2
+        else:
+            Wm = jnp.broadcast_to(params["W"].reshape(
+                params["W"].shape[0], *params["W"].shape[-2:]),
+                (K, n0, n1))
+            Wp2 = poly_pack(Wm) ** 2
     k0 = state.k
 
     def cond(c):
@@ -1304,7 +1360,7 @@ def _pgm_fused_kernel_run(cfg, opts, params, state, prec_mode,
         # gradient operand: roll-combine the forward product, subtract
         # S, (mask), and build the adjoint rolls -- all small tensors
         o4 = R1.reshape(K, p0, p1, -1)
-        Rp = _fwd_combine(o4, jf0, jf1, PS) - Sp
+        Rp = _fwd_combine_ch(o4, jf0, jf1, Cd, PS) - Sp
         Rg = Wp2 * Rp if cfg.masked else Rp
         G2 = _adj_rolls(Rg, ja0, ja1)
         tprv = st.t
@@ -1323,8 +1379,8 @@ def _pgm_fused_kernel_run(cfg, opts, params, state, prec_mode,
         if opts.fast_solve:
             objv = (jnp.nan,) * 3
         else:
-            RpX = _fwd_combine(RX.reshape(K, p0, p1, -1), jf0, jf1,
-                               PS) - Sp
+            RpX = _fwd_combine_ch(RX.reshape(K, p0, p1, -1), jf0, jf1,
+                                  Cd, PS) - Sp
             if cfg.masked:
                 f = 0.5 * jnp.sum(Wp2 * RpX ** 2)
             else:
@@ -1378,7 +1434,8 @@ def _pgm_kernel_eligible(cfg, params, opts):
     pos = cri.K * (cri.Nv[0] // PS) * (cri.Nv[1] // PS)
     C = PS * PS * cri.M
     J = -(-(cri.dsz[0] - 1) // PS)
-    Ta = (J + 1) * (-(-(cri.dsz[1] - 1) // PS) + 1) * PS * PS
+    Ta = ((J + 1) * (-(-(cri.dsz[1] - 1) // PS) + 1)
+          * cri.Cd * PS * PS)
     return (jnp.ndim(wl1p) <= 1
             and pki.iter_supported(pos, C, Ta))
 

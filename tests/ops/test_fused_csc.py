@@ -132,6 +132,47 @@ class TestMultiChannelDict:
         # through the one-pass Pallas iteration kernel (interpret)
         self._run(C=3, kernel=True, iters=15)
 
+    def _run_pgm(self, C=3, masked=False, kernel=False, iters=15):
+        from sporco_tpu.models import pgm as mpgm
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        rng = np.random.default_rng(21)
+        Dc = rng.standard_normal((8, 8, C, 4)).astype(np.float32)
+        Dc /= np.sqrt((Dc ** 2).sum(axis=(0, 1, 2), keepdims=True))
+        S = rng.standard_normal((32, 32, C)).astype(np.float32)
+        cls = mpgm.ConvBPDNMask if masked else mpgm.ConvBPDN
+        kw = dict(opt=cls.options(max_iter=iters, rel_stop_tol=0.0,
+                                  L=20.0), dimK=0)
+        if masked:
+            kw["W"] = (rng.random((32, 32, C)) > 0.3) \
+                .astype(np.float32)
+        a = cls(Dc, S, 0.1, fused=False, **kw)
+        Xa = np.asarray(a.solve())
+        prev = pki.interpret
+        pki.interpret = kernel
+        prev_en = pki.enabled
+        pki.enabled = kernel
+        try:
+            b = cls(Dc, S, 0.1, fused=True, **kw)
+            assert fused_csc.pgm_eligible(b.cfg, b.params, b.opts)
+            Xb = np.asarray(b.solve())
+        finally:
+            pki.interpret = prev
+            pki.enabled = prev_en
+        scale = max(np.abs(Xa).max(), 1e-6)
+        assert Xa.shape == Xb.shape
+        assert np.abs(Xa - Xb).max() < 2e-4 * scale
+        assert np.allclose(a.getitstat().ObjFun,
+                           b.getitstat().ObjFun, rtol=1e-4)
+
+    def test_pgm_c3(self):
+        self._run_pgm(C=3)
+
+    def test_pgm_c3_masked(self):
+        self._run_pgm(C=3, masked=True)
+
+    def test_pgm_c3_kernel(self):
+        self._run_pgm(C=3, kernel=True)
+
     def test_pgm_cfold_matches_generic(self):
         from sporco_tpu.models import pgm as mpgm
         rng = np.random.default_rng(11)
