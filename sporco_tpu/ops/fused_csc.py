@@ -656,7 +656,8 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         D = params["D"].reshape(Cd, M, nd0, nd1)
         S = params["S"].reshape(K, Cd, n0, n1)
         Df = sf.rfftn(D, s=cri.Nv, axes=axes)      # (Cd, M, n0, k1)
-        DDHf = jnp.einsum("cmxy,dmxy->cdxy", Df, jnp.conj(Df))
+        DDHf = jnp.einsum("cmxy,dmxy->cdxy", Df, jnp.conj(Df),
+                         precision=lax.Precision.HIGHEST)
         Sfc = sf.rfftn(S, axes=axes)               # (K, Cd, n0, k1)
         Wf, Wa, js = xstep_kernels_mc(D, nd0, nd1, PS)
         DHD = sfr = sfi = None
@@ -851,8 +852,9 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
                         jnp.nan)
             elif Cd > 1:
                 # DXf = scale rf + DDHf Gf (free spectral identity)
-                DXf = scale * rf_mc + jnp.einsum("cdxy,kdxy->kcxy",
-                                                 DDHf, Gf_mc)
+                DXf = scale * rf_mc + jnp.einsum(
+                    "cdxy,kdxy->kcxy", DDHf, Gf_mc,
+                    precision=lax.Precision.HIGHEST)
                 er = DXf - Sfc
                 dfd = 0.5 * _rfl2norm2_sq((er * jnp.conj(er)).real,
                                           n1)
@@ -977,8 +979,9 @@ def _cbpdn_fused_run(cfg, opts, params, state, prec_mode="high",
         else:
             rl1 = sums[5]
             if Cd > 1:
-                DXf = scale * rf_mc + jnp.einsum("cdxy,kdxy->kcxy",
-                                                 DDHf, Gf_mc)
+                DXf = scale * rf_mc + jnp.einsum(
+                    "cdxy,kdxy->kcxy", DDHf, Gf_mc,
+                    precision=lax.Precision.HIGHEST)
                 erc = DXf - Sfc
                 dfd = 0.5 * _rfl2norm2_sq((erc * jnp.conj(erc)).real,
                                           n1)

@@ -143,6 +143,29 @@ class TestCSCOnDevice:
         assert np.isfinite(obj[-1])
         assert obj[-1] < obj[0]
 
+    def test_colour_paths_match_generic(self):
+        # both fused colour routes (channel folding for Cd=1/C=3 and
+        # the rank-C Woodbury for Cd=C=3) vs the generic driver, on
+        # device
+        from sporco_tpu.models.cbpdn import ConvBPDN
+        rng = _seeded(23)
+        S = rng.standard_normal((64, 64, 3)).astype(np.float32)
+        Dg = rng.standard_normal((6, 6, 8)).astype(np.float32)
+        Dc = rng.standard_normal((6, 6, 3, 8)).astype(np.float32)
+        opt = ConvBPDN.options(max_iter=25, rel_stop_tol=0.0)
+        # on device the fused path runs bf16-split MXU matmuls (HIGH /
+        # 4-pass), so objectives track the f32 FFT path to ~1e-3
+        # relative; the exact-arithmetic parity (rtol 1e-4) is pinned
+        # by the CPU tests (tests/ops/test_fused_csc.py)
+        for D in (Dg, Dc):
+            a = ConvBPDN(D, S, 0.1, opt=opt, dimK=0, fused=False)
+            a.solve()
+            oa = np.asarray(a.getitstat().ObjFun)
+            b = ConvBPDN(D, S, 0.1, opt=opt, dimK=0, fused=True)
+            b.solve()
+            ob = np.asarray(b.getitstat().ObjFun)
+            assert np.allclose(oa, ob, rtol=1e-3), (D.shape,)
+
     def test_gradreg_and_masked_converge(self):
         from sporco_tpu.models.cbpdn import (ConvBPDNGradReg,
                                              ConvBPDNMaskDcpl)
