@@ -461,6 +461,40 @@ def _bench_cbpdn_batch():
             "image_iters_per_s": round(K * n / t_best, 2)}
 
 
+def _bench_cbpdn_clr():
+    """Colour CSC, colour dictionary (Cd=C=3): the rank-C Woodbury
+    fused path (the reference's native CUDA solvers are single-channel
+    only, ``docs/source/modules/sporco.cuda.rst:107-239``; its python
+    path is ``solvemdbi_ism``, ``sporco/admm/cbpdn.py:278``)."""
+    from sporco_tpu.models import cbpdn
+    from sporco_tpu.ops import mxufft
+    mxufft.set_precision("high")
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.default_rng(0)
+    N, Nd, M = 512, 8, 64
+    D = rng.standard_normal((Nd, Nd, 3, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1, 2), keepdims=True))
+    S = np.stack([gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5
+                  + 0.1 * rng.standard_normal((N, N))
+                  for _ in range(3)], axis=-1).astype(np.float32)
+    opt = cbpdn.ConvBPDN.options(max_iter=500, rel_stop_tol=1e-3)
+    b = cbpdn.ConvBPDN(D, S, lmbda=0.05, opt=opt, dimK=0)
+    b.solve()
+    t = float("inf")
+    for _ in range(3):
+        b2 = cbpdn.ConvBPDN(D, S, lmbda=0.05, opt=opt, dimK=0)
+        _settle(b2)
+        t0 = time.time(); b2.solve(); t = min(t, time.time() - t0)
+    its = b2.getitstat()
+    n = len(its)
+    ips = n / t
+    return {"metric": "ConvBPDN colour 512x512x3, 64 colour filters, "
+                      "iters/s (rank-C Woodbury)",
+            "value": round(ips, 2), "unit": "iters/s", "iters": n,
+            "time_s": round(t, 4),
+            "objective": round(float(its.ObjFun[-1]), 4)}
+
+
 def _bench_serve():
     """Serving latency: repeated single-image ConvBPDN solves against
     a WARM program (the deployment steady state -- one program shape,
@@ -567,6 +601,7 @@ def _run_all():
                      ("rpca", _bench_rpca), ("pgm", _bench_pgm),
                      ("cdlcns", _bench_cdlcns),
                      ("cbpdn_batch", _bench_cbpdn_batch),
+                     ("cbpdn_clr", _bench_cbpdn_clr),
                      ("cdlcns_scaling", _bench_cdlcns_scaling)]:
         out = _ref_vs_baseline(name, fn())
         print(json.dumps(out), flush=True)
@@ -594,6 +629,7 @@ def main():
                "rpca": _bench_rpca, "cdlcns": _bench_cdlcns,
                "cdlcns_scaling": _bench_cdlcns_scaling,
                "cbpdn_batch": _bench_cbpdn_batch,
+               "cbpdn_clr": _bench_cbpdn_clr,
                "serve": _bench_serve,
                "pgm": _bench_pgm}[cfg]()
         out = _ref_vs_baseline(cfg, out)

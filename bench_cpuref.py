@@ -138,6 +138,23 @@ def cdlcns_scaling():
     return cdlcns(K=8, n=10)
 
 
+def cbpdn_clr():
+    from sporco.admm import cbpdn as r
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.default_rng(0)
+    N, Nd, M = 512, 8, 64
+    D = rng.standard_normal((Nd, Nd, 3, M)).astype(np.float32)
+    D /= np.sqrt((D ** 2).sum(axis=(0, 1, 2), keepdims=True))
+    S = np.stack([gaussian_filter(rng.standard_normal((N, N)), 8.0) * 5
+                  + 0.1 * rng.standard_normal((N, N))
+                  for _ in range(3)], axis=-1).astype(np.float32)
+    n = 3
+    opt = r.ConvBPDN.Options({'Verbose': False, 'MaxMainIter': n,
+                              'RelStopTol': 0.0})
+    b = r.ConvBPDN(D, S, 0.05, opt, dimK=0)
+    return {"iters_per_s": _time_solve(b, n), "n_iter_measured": n}
+
+
 def cbpdn_batch():
     from sporco.admm import cbpdn as r
     from scipy.ndimage import gaussian_filter
@@ -162,7 +179,7 @@ def cbpdn_batch():
 CONFIGS = {"bpdn": bpdn, "bpdn_batch": bpdn_batch,
            "tvl2": tvl2, "rpca": rpca, "pgm": pgm,
            "cdlcns": cdlcns, "cdlcns_scaling": cdlcns_scaling,
-           "cbpdn_batch": cbpdn_batch}
+           "cbpdn_batch": cbpdn_batch, "cbpdn_clr": cbpdn_clr}
 
 
 def main():
