@@ -598,9 +598,12 @@ def cbpdn_solve_cfold(cfg, params, opts, state):
 def consensus_eligible(cri, dsz, dtype, masked):
     """Whether the sharded consensus-CDL loop may use the fused
     spatial x-step for its CSC stage (parallel/consensus.py); derives
-    every constraint from this module's constants."""
+    every constraint from this module's constants.  Colour
+    dictionaries (Cd == C <= 3, shared coefficient maps) use the
+    rank-C Woodbury form."""
     return (not masked
-            and _layout_ok(cri, dsz[0], dsz[1], dtype))
+            and _layout_ok(cri, dsz[0], dsz[1], dtype,
+                           allow_mc=True))
 
 
 # ---------------------------------------------------------------------------

@@ -138,27 +138,47 @@ def _consensus_solve(cfg, params, state, n_iter):
             from sporco_tpu.ops import pallas_csc_iter as pki
             nd0, nd1 = cfg.dsz[0], cfg.dsz[1]
             K, M = cri.K, cri.M
+            Cd = cri.Cd
             n0, n1 = Nv
             PS = fc.PS
             p0, p1 = n0 // PS, n1 // PS
             pos = K * p0 * p1
             C = PS * PS * M
-            Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
-            Wf_, Wa_, js_ = fc.xstep_kernels(Dsm, nd0, nd1)
-            jf0, jf1, ja0, ja1 = js_
-            DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=2).reshape(
-                n0, Sf.shape[-1])
-            Sf2 = Sf.reshape(K, n0, -1)
-            o = jnp.einsum("kpqc,cd->kpqd",
-                           (ZY - ZU).reshape(K, p0, p1, C), Wf_,
-                           precision=jax.lax.Precision.HIGH)
-            R = fc.poly_unpack(fc._fwd_combine(o, jf0, jf1, PS))
-            rf = sf.rfftn(R, axes=(-2, -1))
-            den = 1.0 / (DHD[None] + rho_x)
-            gr = (jnp.real(Sf2) - jnp.real(rf)) * den
-            gi = (jnp.imag(Sf2) - jnp.imag(rf)) * den
-            G = sf.irfftn(gr + 1j * gi, s=Nv, axes=(-2, -1))
-            G2 = fc._adj_rolls(fc.poly_pack(G), ja0, ja1)
+            if Cd > 1:
+                # rank-Cd Woodbury glue (ops/fused_csc mc helpers)
+                Dsm = DY.reshape(Cd, M, n0, n1)[:, :, :nd0, :nd1]
+                Wf_, Wa_, js_ = fc.xstep_kernels_mc(Dsm, nd0, nd1)
+                jf0, jf1, ja0, ja1 = js_
+                Dfm = Df.reshape(Cd, M, n0, Sf.shape[-1])
+                DDHf = jnp.einsum(
+                    "cmxy,dmxy->cdxy", Dfm, jnp.conj(Dfm),
+                    precision=jax.lax.Precision.HIGHEST)
+                Sfc = Sf.reshape(K, Cd, n0, -1)
+                o = jnp.einsum("kpqc,cd->kpqd",
+                               (ZY - ZU).reshape(K, p0, p1, C), Wf_,
+                               precision=jax.lax.Precision.HIGH)
+                R = fc._fwd_combine_mc(o, jf0, jf1, Cd, PS)
+                rf = sf.rfftn(R, axes=(-2, -1))
+                Gf = fc._herm_solve(DDHf, rho_x, Sfc - rf)
+                G = sf.irfftn(Gf, s=Nv, axes=(-2, -1))
+                G2 = fc._adj_rolls_mc(G, ja0, ja1, PS)
+            else:
+                Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
+                Wf_, Wa_, js_ = fc.xstep_kernels(Dsm, nd0, nd1)
+                jf0, jf1, ja0, ja1 = js_
+                DHD = jnp.sum((Df * jnp.conj(Df)).real,
+                              axis=2).reshape(n0, Sf.shape[-1])
+                Sf2 = Sf.reshape(K, n0, -1)
+                o = jnp.einsum("kpqc,cd->kpqd",
+                               (ZY - ZU).reshape(K, p0, p1, C), Wf_,
+                               precision=jax.lax.Precision.HIGH)
+                R = fc.poly_unpack(fc._fwd_combine(o, jf0, jf1, PS))
+                rf = sf.rfftn(R, axes=(-2, -1))
+                den = 1.0 / (DHD[None] + rho_x)
+                gr = (jnp.real(Sf2) - jnp.real(rf)) * den
+                gi = (jnp.imag(Sf2) - jnp.imag(rf)) * den
+                G = sf.irfftn(gr + 1j * gi, s=Nv, axes=(-2, -1))
+                G2 = fc._adj_rolls(fc.poly_pack(G), ja0, ja1)
             thr = (lmbda / rho_x) * params["wl1"]
             # emit_px/emit_fwd off: X is not consumed (the d-step uses
             # ZY), and the forward product is recomputed against the
@@ -181,16 +201,28 @@ def _consensus_solve(cfg, params, state, n_iter):
             from sporco_tpu.ops import fused_csc as fc
             nd0, nd1 = cfg.dsz[0], cfg.dsz[1]
             K, M = cri.K, cri.M
+            Cd = cri.Cd
             n0, n1 = Nv
-            Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
-            Wf_, Wa_, js_ = fc.xstep_kernels(Dsm, nd0, nd1)
-            DHD = jnp.sum((Df * jnp.conj(Df)).real, axis=2).reshape(
-                n0, Sf.shape[-1])
-            Sf2 = Sf.reshape(K, n0, -1)
             Pyu = fc.pack_state((ZY - ZU).reshape(K, 1, M, n0, n1))
-            Zxp, _, _, _, _ = fc.spatial_xstep(
-                Pyu, Wf_, Wa_, js_, DHD, jnp.real(Sf2), jnp.imag(Sf2),
-                rho_x, 1.0, Nv)
+            if Cd > 1:
+                Dsm = DY.reshape(Cd, M, n0, n1)[:, :, :nd0, :nd1]
+                Wf_, Wa_, js_ = fc.xstep_kernels_mc(Dsm, nd0, nd1)
+                Dfm = Df.reshape(Cd, M, n0, Sf.shape[-1])
+                DDHf = jnp.einsum(
+                    "cmxy,dmxy->cdxy", Dfm, jnp.conj(Dfm),
+                    precision=jax.lax.Precision.HIGHEST)
+                Sfc = Sf.reshape(K, Cd, n0, -1)
+                Zxp, _, _ = fc.spatial_xstep_mc(
+                    Pyu, Wf_, Wa_, js_, DDHf, Sfc, rho_x, 1.0, Nv, Cd)
+            else:
+                Dsm = DY.reshape(M, n0, n1)[:, :nd0, :nd1]
+                Wf_, Wa_, js_ = fc.xstep_kernels(Dsm, nd0, nd1)
+                DHD = jnp.sum((Df * jnp.conj(Df)).real,
+                              axis=2).reshape(n0, Sf.shape[-1])
+                Sf2 = Sf.reshape(K, n0, -1)
+                Zxp, _, _, _, _ = fc.spatial_xstep(
+                    Pyu, Wf_, Wa_, js_, DHD, jnp.real(Sf2),
+                    jnp.imag(Sf2), rho_x, 1.0, Nv)
             Zx = fc.unpack_state(Zxp, M).reshape(ZY.shape)
             AX = ax_ * Zx + (1 - ax_) * ZY
             ZYn = sp.prox_l1(AX + ZU, (lmbda / rho_x) * params["wl1"])
@@ -320,14 +352,21 @@ class ConvBPDNDictLearn_Consensus:
                      cri.Nv, dimN=dimN, zm=zero_mean)
         from sporco_tpu.ops import fused_csc as _fc
         from sporco_tpu.ops import pallas_csc_iter as _pki
-        fx = (fused is not False
-              and _fc.consensus_eligible(cri, dsz, dtype, self.MASKED))
+        # auto mode picks the spatial x-step for single-channel
+        # dictionaries only: the colour (rank-C) form is supported and
+        # trajectory-identical, but measured SLOWER than the
+        # freq-domain stage at CDL sizes (the 3x larger polyphase taps
+        # outweigh the rank-3 solvemdbi solve; 137 vs 109 outer it/s
+        # on the 128x128x3 benchmark) -- request it with fused=True
+        fx = (_fc.consensus_eligible(cri, dsz, dtype, self.MASKED)
+              and (fused is True
+                   or (fused is not False and cri.Cd == 1)))
         PSx = _fc.PS
         posx = cri.K * (cri.Nv[0] // PSx) * (cri.Nv[1] // PSx) \
             if fx else 0
         Jd = -(-(dsz[0] - 1) // PSx)
-        Tax = ((Jd + 1) * (-(-(dsz[1] - 1) // PSx) + 1) * PSx * PSx
-               if fx else 0)
+        Tax = ((Jd + 1) * (-(-(dsz[1] - 1) // PSx) + 1)
+               * cri.Cd * PSx * PSx if fx else 0)
         kx = (fx and jnp.ndim(jnp.asarray(wl1)) == 0
               and _pki.enabled
               and (_pki.interpret

@@ -97,6 +97,43 @@ class TestConsensusCDL:
         oa, ob = a.evaluate(), b.evaluate()
         assert abs(oa[0] - ob[0]) < 1e-3 * abs(oa[0])
 
+    def test_colour_fused_xstep_matches_standard(self):
+        # colour dictionary (Cd=C=3): rank-C Woodbury CSC stage must
+        # reproduce the solvemdbi_ism freq-domain stage
+        rng = np.random.default_rng(3)
+        S = rng.standard_normal((16, 16, 3, 4)).astype(np.float32)
+        D0 = rng.standard_normal((5, 5, 3, 6)).astype(np.float32)
+        a = consensus.ConvBPDNDictLearn_Consensus(
+            D0, S, lmbda=0.05, max_iter=15, fused=False)
+        b = consensus.ConvBPDNDictLearn_Consensus(
+            D0, S, lmbda=0.05, max_iter=15, fused=True)
+        assert not a.cfg.fused_x and b.cfg.fused_x
+        Da, Db = np.asarray(a.solve()), np.asarray(b.solve())
+        assert Da.shape == D0.shape
+        assert np.abs(Da - Db).max() < 1e-4 * np.abs(Da).max()
+        oa, ob = a.evaluate(), b.evaluate()
+        assert abs(oa[0] - ob[0]) < 1e-3 * abs(oa[0])
+
+    def test_colour_kernel_xstep_matches_standard(self):
+        # colour + the one-pass Pallas kernel stage (interpret mode)
+        from sporco_tpu.ops import pallas_csc_iter as pki
+        rng = np.random.default_rng(4)
+        S = rng.standard_normal((16, 16, 3, 4)).astype(np.float32)
+        D0 = rng.standard_normal((5, 5, 3, 8)).astype(np.float32)
+        a = consensus.ConvBPDNDictLearn_Consensus(
+            D0, S, lmbda=0.05, max_iter=10, fused=False)
+        Da = np.asarray(a.solve())
+        prev = pki.interpret
+        pki.interpret = True
+        try:
+            b = consensus.ConvBPDNDictLearn_Consensus(
+                D0, S, lmbda=0.05, max_iter=10, fused=True)
+            assert b.cfg.kernel_x
+            Db = np.asarray(b.solve())
+        finally:
+            pki.interpret = prev
+        assert np.abs(Da - Db).max() < 1e-4 * np.abs(Da).max()
+
     def test_masked_consensus(self):
         W = (self.rng.random(self.S.shape) > 0.2).astype(np.float64)
         d = consensus.ConvBPDNMaskDcplDictLearn_Consensus(
