@@ -50,9 +50,13 @@ def inner(x, y, axis=-1):
 def dot(a, b, axis=-2):
     """Matrix product of 2D ``a`` against axis ``axis`` of tensor ``b``
     (parity with ``sporco/linalg.py:92``): contracts ``a``'s columns with
-    that axis, leaving the result in the same axis position."""
-    return jnp.moveaxis(jnp.tensordot(a, b, axes=((1,), (axis % b.ndim,))),
-                        0, axis % b.ndim)
+    that axis, leaving the result in the same axis position.  Runs
+    f32-faithful (the TPU default matmul precision is single-pass
+    bf16, far below this kernel's reference semantics)."""
+    return jnp.moveaxis(
+        jnp.tensordot(a, b, axes=((1,), (axis % b.ndim,)),
+                      precision=jax.lax.Precision.HIGHEST),
+        0, axis % b.ndim)
 
 
 # ---------------------------------------------------------------------------
