@@ -48,7 +48,6 @@ def _key_for(tmpdir, pad):
         import importlib
         mod = importlib.import_module("m{pad}")
         import numpy as np
-        from jax._src import cache_key as ck
         lowered = mod.fn.lower(np.ones((8, 8), np.float32))
         import hashlib
         print(hashlib.sha256(
